@@ -1,0 +1,231 @@
+"""The pure-functional physics transition.
+
+TPU-native equivalent of ``Simulator.transition`` (simulator.py:464-537) and
+``Simulator.reset`` (simulator.py:225-293):
+
+1. map requested device set-points onto feasible (P, Q) injections
+   (loads: clip + Q/P ratio, devices.py:156-167; generators/storage: exact
+   polytope projection replacing the per-device CVXPY QPs,
+   devices.py:280-304 / 472-522),
+2. update storage SoC (devices.py:524-545),
+3. aggregate bus injections (simulator.py:539-549) via a static incidence
+   matmul,
+4. solve the AC power flow with batched Newton-Raphson
+   (solve_load_flow.py:7-81),
+5. recover slack/bus/branch electrical quantities,
+6. compute the energy-loss + constraint-penalty reward
+   (simulator.py:638-683).
+
+Everything is a pure function of ``(GridSpec, inputs)`` -> ``SimState``;
+``jax.vmap`` over the inputs yields thousands of lockstep environments.
+All power quantities here are in per-unit (the env layer converts MW/MVAr).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops.power_flow import solve_pfe
+from ..ops.projection import project_polytope
+from .grid import GridSpec, POLY_ROW_P_CAP, POLY_ROW_P_FLOOR
+from .state import SimState
+
+
+class TransitionResult(NamedTuple):
+    state: SimState
+    reward: jnp.ndarray
+    e_loss: jnp.ndarray
+    penalty: jnp.ndarray
+    pfe_converged: jnp.ndarray
+
+
+def compute_branch_flows(spec: GridSpec, v):
+    """Directional branch currents and power flows (branch.py:153-198)."""
+    v_f = v[spec.br_f]
+    v_t = v[spec.br_t]
+    tap_sq = jnp.abs(spec.br_tap) ** 2
+    ys = spec.br_series + spec.br_shunt
+    i_from = ys * v_f / tap_sq.astype(v.dtype) - spec.br_series * v_t / jnp.conj(spec.br_tap)
+    i_to = ys * v_t - spec.br_series * v_f / spec.br_tap
+    s_from = v_f * jnp.conj(i_from)
+    s_to = v_t * jnp.conj(i_to)
+    p_from, q_from = s_from.real, s_from.imag
+    p_to, q_to = s_to.real, s_to.imag
+    s_max = jnp.sign(p_from) * jnp.maximum(jnp.abs(s_from), jnp.abs(s_to))
+    return i_from, i_to, p_from, q_from, p_to, q_to, s_max
+
+
+def _map_set_points(spec: GridSpec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen, P_set_des, Q_set_des):
+    """Steps 1-3 of the transition: feasible injections + SoC update."""
+    dt = spec.dtype
+
+    # Loads: clip + fixed Q/P ratio (devices.py:156-167).
+    load_p = jnp.clip(P_load, spec.load_p_min, spec.load_p_max)
+    load_q = load_p * spec.load_qp
+
+    # Generators: clip the potential, then cap P by it (devices.py:181-187, 280-304).
+    p_pot = jnp.clip(P_pot, spec.gen_p_min, spec.gen_p_max)
+    gen_h = spec.gen_h0.at[:, POLY_ROW_P_CAP].set(p_pot) if spec.n_gen else spec.gen_h0
+
+    # Storage: SoC-rate caps on (dis)charging (devices.py:501-514).
+    if spec.n_des:
+        discharge_cap = spec.des_eff * (des_soc - spec.des_soc_min) / spec.delta_t
+        charge_cap = -(des_soc - spec.des_soc_max) / (spec.delta_t * spec.des_eff)
+        des_h = spec.des_h0.at[:, POLY_ROW_P_CAP].set(discharge_cap)
+        des_h = des_h.at[:, POLY_ROW_P_FLOOR].set(charge_cap)
+    else:
+        des_h = spec.des_h0
+
+    # One batched exact projection for all controllable devices.
+    points = jnp.concatenate(
+        [jnp.stack([P_set_gen, Q_set_gen], axis=-1), jnp.stack([P_set_des, Q_set_des], axis=-1)], axis=0
+    )
+    G = jnp.concatenate([spec.gen_G, spec.des_G], axis=0)
+    h = jnp.concatenate([gen_h, des_h], axis=0)
+    proj = project_polytope(points.astype(dt), G, h)
+    gen_p, gen_q = proj[: spec.n_gen, 0], proj[: spec.n_gen, 1]
+    des_p, des_q = proj[spec.n_gen :, 0], proj[spec.n_gen :, 1]
+
+    # SoC update with round-trip efficiency asymmetry + clip (devices.py:524-545).
+    new_soc = jnp.where(
+        des_p <= 0,
+        des_soc - spec.delta_t * spec.des_eff * des_p,
+        des_soc - spec.delta_t * des_p / spec.des_eff,
+    )
+    new_soc = jnp.clip(new_soc, spec.des_soc_min, spec.des_soc_max)
+
+    # Assemble full device injection vectors (slack initialized to 0,
+    # simulator.py:520-523).
+    dev_p = jnp.zeros((spec.n_dev,), dtype=dt)
+    dev_q = jnp.zeros((spec.n_dev,), dtype=dt)
+    dev_p = dev_p.at[spec.load_pos].set(load_p).at[spec.gen_pos].set(gen_p).at[spec.des_pos].set(des_p)
+    dev_q = dev_q.at[spec.load_pos].set(load_q).at[spec.gen_pos].set(gen_q).at[spec.des_pos].set(des_q)
+    return dev_p, dev_q, new_soc, p_pot
+
+
+def _reward(spec: GridSpec, dev_p, gen_p_pot, v, br_s):
+    """Energy loss + constraint penalty (simulator.py:638-683)."""
+    e_loss = jnp.sum(spec.eloss_mask * dev_p)
+    if spec.n_rer:
+        curtail = jnp.maximum(0.0, gen_p_pot[spec.rer_gen_idx] - dev_p[spec.rer_pos])
+        e_loss = e_loss + jnp.sum(curtail)
+    e_loss = e_loss * spec.delta_t
+
+    v_magn = jnp.abs(v)
+    v_pen = jnp.sum(jnp.maximum(0.0, v_magn - spec.bus_v_max) + jnp.maximum(0.0, spec.bus_v_min - v_magn))
+    br_pen = jnp.sum(jnp.maximum(0.0, jnp.abs(br_s) - spec.br_rate))
+    penalty = (v_pen + br_pen) * spec.delta_t * spec.lamb
+
+    return -(e_loss + penalty), e_loss, penalty
+
+
+def transition(
+    spec: GridSpec,
+    des_soc,
+    P_load,
+    P_pot,
+    P_set_gen,
+    Q_set_gen,
+    P_set_des,
+    Q_set_des,
+    x_tol=1e-5,
+    max_iter=100,
+) -> TransitionResult:
+    """One physics transition (simulator.py:464-537). All inputs in p.u.
+
+    Parameters
+    ----------
+    des_soc : [n_des]
+        Current storage state of charge (p.u.).
+    P_load : [n_load]
+        Fixed load active injections.
+    P_pot : [n_gen]
+        Maximum potential generation of non-slack generators.
+    P_set_gen, Q_set_gen : [n_gen]
+        Generator set-points.
+    P_set_des, Q_set_des : [n_des]
+        Storage set-points.
+    """
+    dev_p, dev_q, new_soc, p_pot = _map_set_points(
+        spec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen, P_set_des, Q_set_des
+    )
+
+    # Bus aggregation as a static incidence matmul (simulator.py:539-549).
+    bus_p = spec.inc_bus_dev @ dev_p
+    bus_q = spec.inc_bus_dev @ dev_q
+
+    # Newton-Raphson load flow; slack bus is internal index 0.
+    v, _, _, converged = solve_pfe(spec.Y, bus_p[1:], bus_q[1:], x_tol=x_tol, max_iter=max_iter)
+
+    # Nodal currents I = Y V and slack power (solve_load_flow.py:54-72;
+    # NaN slack power becomes +inf).
+    i = spec.Y @ v
+    s_slack = v[0] * jnp.conj(i[0])
+    p0 = jnp.where(jnp.isnan(s_slack.real), jnp.inf, s_slack.real)
+    q0 = jnp.where(jnp.isnan(s_slack.imag), jnp.inf, s_slack.imag)
+    bus_p = bus_p.at[0].set(p0)
+    bus_q = bus_q.at[0].set(q0)
+    dev_p = dev_p.at[spec.slack_pos].set(p0)
+    dev_q = dev_q.at[spec.slack_pos].set(q0)
+
+    i_from, i_to, p_from, q_from, p_to, q_to, s_max = compute_branch_flows(spec, v)
+
+    state = SimState(
+        dev_p=dev_p,
+        dev_q=dev_q,
+        des_soc=new_soc,
+        gen_p_pot=p_pot,
+        bus_v=v,
+        bus_i=i,
+        bus_p=bus_p,
+        bus_q=bus_q,
+        br_i_from=i_from,
+        br_i_to=i_to,
+        br_p_from=p_from,
+        br_q_from=q_from,
+        br_p_to=p_to,
+        br_q_to=q_to,
+        br_s=s_max,
+        pfe_converged=converged,
+    )
+    reward, e_loss, penalty = _reward(spec, dev_p, p_pot, v, s_max)
+    return TransitionResult(state, reward, e_loss, penalty, converged)
+
+
+def sim_reset(spec: GridSpec, s0, x_tol=1e-5, max_iter=100) -> SimState:
+    """Apply an initial state vector (reference layout, MW/MVAr/MWh units)
+    to the grid (simulator.py:225-293).
+
+    ``s0 = [dev_p (d), dev_q (d), des_soc (n_des), gen_p_max (n_gen), ...]``;
+    trailing entries (aux vars) are ignored here.
+    """
+    d = spec.n_dev
+    base = spec.baseMVA
+    P_dev = s0[:d] / base
+    Q_dev = s0[d : 2 * d] / base
+    soc_target = s0[2 * d : 2 * d + spec.n_des] / base
+    P_max = s0[2 * d + spec.n_des : 2 * d + spec.n_des + spec.n_gen] / base
+
+    P_set_des = P_dev[spec.des_pos]
+    # Pre-set each storage SoC to empty/full so the requested injection is
+    # feasible during the transition (simulator.py:273-278).
+    soc_pre = jnp.where(P_set_des <= 0, spec.des_soc_min, spec.des_soc_max)
+
+    res = transition(
+        spec,
+        soc_pre,
+        P_load=P_dev[spec.load_pos],
+        P_pot=P_max,
+        P_set_gen=P_dev[spec.gen_pos],
+        Q_set_gen=Q_dev[spec.gen_pos],
+        P_set_des=P_set_des,
+        Q_set_des=Q_dev[spec.des_pos],
+        x_tol=x_tol,
+        max_iter=max_iter,
+    )
+    # Override the SoC with the requested initial value (simulator.py:284-288;
+    # note the reference does not clip it here).
+    return dataclasses.replace(res.state, des_soc=soc_target.astype(spec.dtype))

@@ -1,0 +1,123 @@
+"""Batched Newton-Raphson AC power-flow solve in polar form.
+
+TPU-native reimplementation of the reference solver
+(``gym_anm/simulator/solve_load_flow.py:7-226``): the same mismatch
+``f(x) = (V (Y V)^*)[1:] - s`` (solve_load_flow.py:116), the same polar
+Jacobian blocks dS/d(theta) and dS/d|V| (solve_load_flow.py:123-164), the
+same flat start (theta=0, |V|=1; solve_load_flow.py:42), the same stopping
+rule (inf-norm of the mismatch <= x_tol, or ``lim_iter`` iterations, with
+NaN => diverged; solve_load_flow.py:176-226).
+
+Differences that make it a good TPU program instead of a translation:
+
+* the grid is small & dense, so the sparse scipy LU (``spsolve``) becomes a
+  dense ``jnp.linalg.solve`` on a [2(n-1), 2(n-1)] Jacobian -- batched over
+  thousands of lockstep environments via ``vmap``;
+* the iteration is a ``lax.while_loop``; under ``vmap`` XLA masks converged
+  lanes, so a batch runs for max-iterations-needed, not 100;
+* divergence raises nothing: NaN mismatch makes the loop condition False
+  (IEEE NaN comparisons) and the caller receives ``converged=False`` per
+  lane, mirroring the reference's NaN detection (solve_load_flow.py:224).
+
+The slack bus must be index 0 with voltage pinned at 1+0j
+(solve_load_flow.py:167-173; note the reference pins 1+0j regardless of
+``v_slack``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _construct_v(theta, vm, cdtype):
+    """V = [1+0j, vm * exp(j theta)] (solve_load_flow.py:167-173)."""
+    one = jnp.ones((1,), dtype=cdtype)
+    v_nonslack = (vm * jnp.exp(1j * theta.astype(cdtype))).astype(cdtype)
+    return jnp.concatenate([one, v_nonslack])
+
+
+def _mismatch(v, Y, s):
+    """F = concat(Re, Im) of (V (Y V)^*)[1:] - s  (solve_load_flow.py:84-120)."""
+    mis = (v * jnp.conj(Y @ v))[1:] - s
+    return jnp.concatenate([mis.real, mis.imag])
+
+
+def _jacobian(v, Y):
+    """Polar-form power-flow Jacobian (solve_load_flow.py:123-164).
+
+    dS_dVa[i,k] = 1j * v_i * conj(delta_ik * (Yv)_i - Y_ik v_k)
+    dS_dVm[i,k] = delta_ik * (v/|v|)_i * conj((Yv)_i) + v_i * conj(Y_ik (v/|v|)_k)
+    """
+    iv = Y @ v
+    vnorm = v / jnp.abs(v)
+    dS_dVa = 1j * v[:, None] * jnp.conj(jnp.diag(iv) - Y * v[None, :])
+    dS_dVm = jnp.diag(vnorm * jnp.conj(iv)) + v[:, None] * jnp.conj(Y * vnorm[None, :])
+    J00 = dS_dVa[1:, 1:].real
+    J01 = dS_dVm[1:, 1:].real
+    J10 = dS_dVa[1:, 1:].imag
+    J11 = dS_dVm[1:, 1:].imag
+    return jnp.block([[J00, J01], [J10, J11]])
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def solve_pfe(Y, p, q, x_tol=1e-5, max_iter=100):
+    """Newton-Raphson solve of the AC power-flow equations.
+
+    Parameters
+    ----------
+    Y : [n, n] complex
+        Nodal admittance matrix, slack bus at index 0.
+    p, q : [n-1]
+        Net active/reactive injections at the non-slack buses (p.u.).
+    x_tol : float
+        Convergence tolerance on the inf-norm of the mismatch.
+    max_iter : int
+        Iteration cap (reference ``lim_iter=100``).
+
+    Returns
+    -------
+    v : [n] complex
+        The final bus-voltage vector (slack pinned at 1+0j).
+    diff : float
+        Final inf-norm of the mismatch (NaN if diverged).
+    n_iter : int
+        Number of NR iterations performed.
+    converged : bool
+        ``diff <= x_tol`` on exit (the reference's ``stable`` flag:
+        solve_load_flow.py:49 -- NaN compares False).
+
+    vmap over the leading axis of (Y, p, q) for batched lockstep solves.
+    """
+    n = Y.shape[0]
+    cdtype = Y.dtype
+    rdtype = p.dtype
+    s = p + 1j * q
+
+    theta0 = jnp.zeros((n - 1,), dtype=rdtype)
+    vm0 = jnp.ones((n - 1,), dtype=rdtype)
+    F0 = _mismatch(_construct_v(theta0, vm0, cdtype), Y, s).astype(rdtype)
+    diff0 = jnp.max(jnp.abs(F0))
+
+    def cond(carry):
+        _, _, _, diff, it = carry
+        return (diff > x_tol) & (it < max_iter)  # NaN diff exits the loop
+
+    def body(carry):
+        theta, vm, F, _, it = carry
+        v = _construct_v(theta, vm, cdtype)
+        J = _jacobian(v, Y)
+        dx = jnp.linalg.solve(J, F.astype(J.dtype))
+        theta = theta - dx[: n - 1]
+        vm = vm - dx[n - 1 :]
+        F = _mismatch(_construct_v(theta, vm, cdtype), Y, s).astype(rdtype)
+        diff = jnp.max(jnp.abs(F))
+        return theta, vm, F, diff, it + 1
+
+    theta, vm, _, diff, n_iter = lax.while_loop(cond, body, (theta0, vm0, F0, diff0, jnp.int32(0)))
+    v = _construct_v(theta, vm, cdtype)
+    converged = diff <= x_tol
+    return v, diff, n_iter, converged

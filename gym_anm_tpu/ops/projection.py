@@ -1,0 +1,98 @@
+"""Exact Euclidean projection onto 2-D halfspace-intersection polytopes.
+
+The reference maps each requested generator/storage set-point onto its
+feasible capability region by solving a CVXPY QP **per device per step**
+(``devices.py:280-304`` and ``devices.py:472-522``) -- by far its dominant
+per-step cost.  Here we exploit that the feasible region is a 2-D convex
+polytope with at most ``N_POLY`` facets: the Euclidean projection of a point
+onto such a set is either
+
+* the point itself (if feasible),
+* the foot of the perpendicular onto one facet's supporting line, or
+* a vertex (intersection of two supporting lines),
+
+so an exhaustive, fixed-shape candidate enumeration computes the projection
+**exactly** (to machine precision -- tighter than the reference's ~1e-8 ECOS
+tolerance), with no iteration, and vmaps over devices x environments.
+
+Rows are "inactive" when their bound is +inf or their normal is zero/non-
+finite (used to express generator polytopes in the unified 10-row layout).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _pair_indices(m: int):
+    iu = np.triu_indices(m, k=1)
+    return np.asarray(iu[0]), np.asarray(iu[1])
+
+
+def project_polytope(point, G, h, eps=None):
+    """Project ``point`` onto ``{x : G x <= h}`` exactly.
+
+    Parameters
+    ----------
+    point : [..., 2]
+        The requested (p, q) set-points.
+    G : [..., m, 2]
+        Halfspace normals.
+    h : [..., m]
+        Halfspace offsets.  ``+inf`` (or a non-finite normal) marks an
+        inactive row.
+
+    Returns
+    -------
+    [..., 2] -- the closest feasible points.
+    """
+    dtype = jnp.result_type(point)
+    if eps is None:
+        eps = 1e-9 if dtype == jnp.float64 else 1e-5
+    m = G.shape[-2]
+    ii, jj = _pair_indices(m)
+
+    row_finite = jnp.all(jnp.isfinite(G), axis=-1)  # [..., m]
+    active = row_finite & jnp.isfinite(h)  # rows that actually constrain
+    # Feasibility tolerance scaled by the offset magnitude.
+    tol = eps * (1.0 + jnp.where(jnp.isfinite(h), jnp.abs(h), 0.0))
+
+    def feasible(x):
+        # x: [..., k, 2]; returns [..., k] bool.
+        gx = jnp.einsum("...mc,...kc->...km", G, x)
+        viol = gx - (h + tol)[..., None, :]
+        ok = jnp.where(active[..., None, :], viol <= 0, True)
+        return jnp.all(ok, axis=-1)
+
+    # Candidate 0: the point itself.
+    c_point = point[..., None, :]  # [..., 1, 2]
+
+    # Candidates 1..m: feet of perpendiculars onto each supporting line.
+    gg = jnp.sum(G * G, axis=-1)  # [..., m]
+    gp = jnp.einsum("...mc,...c->...m", G, point)
+    coef = jnp.where(active & (gg > 0), (gp - h) / jnp.where(gg > 0, gg, 1.0), jnp.nan)
+    c_feet = point[..., None, :] - coef[..., None] * G  # [..., m, 2]
+    feet_valid = active & (gg > 0)
+
+    # Candidates m+1..: pairwise line intersections (vertices).
+    g_i, g_j = G[..., ii, :], G[..., jj, :]  # [..., P, 2]
+    h_i, h_j = h[..., ii], h[..., jj]
+    det = g_i[..., 0] * g_j[..., 1] - g_i[..., 1] * g_j[..., 0]
+    det_ok = jnp.abs(det) > eps * jnp.maximum(1.0, jnp.sqrt(jnp.maximum(gg[..., ii] * gg[..., jj], 0.0)))
+    safe_det = jnp.where(det_ok, det, 1.0)
+    vx = (h_i * g_j[..., 1] - h_j * g_i[..., 1]) / safe_det
+    vy = (g_i[..., 0] * h_j - g_j[..., 0] * h_i) / safe_det
+    c_vert = jnp.stack([vx, vy], axis=-1)  # [..., P, 2]
+    vert_valid = det_ok & active[..., ii] & active[..., jj]
+
+    cands = jnp.concatenate([c_point, c_feet, c_vert], axis=-2)  # [..., 1+m+P, 2]
+    valid = jnp.concatenate(
+        [jnp.ones_like(feet_valid[..., :1]), feet_valid, vert_valid], axis=-1
+    )
+    valid = valid & jnp.all(jnp.isfinite(cands), axis=-1) & feasible(cands)
+
+    d2 = jnp.sum((cands - point[..., None, :]) ** 2, axis=-1)
+    score = jnp.where(valid, d2, jnp.inf)
+    best = jnp.argmin(score, axis=-1)
+    return jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
