@@ -1,0 +1,33 @@
+"""gym-anm-tpu: a TPU-native framework for RL environments that model
+Active Network Management tasks in AC electricity distribution networks.
+
+A ground-up JAX/XLA redesign with the full capability surface of
+robinhenry/gym-anm: the physics simulator is a pure-functional, jit-compiled
+state transition that vmaps across thousands of lockstep environments and
+shards over device meshes, while the Gymnasium API, the network-dict input
+format, the observation mini-language, and the MPC baseline agents remain
+drop-in compatible with the reference.
+"""
+
+from gymnasium.envs.registration import register
+
+from .agents import MPCAgent, MPCAgentConstant, MPCAgentPerfect
+from .envs import ANM6, ANM6Easy, ANMEnv
+from .simulator import Simulator
+
+__version__ = "0.1.0"
+
+register(
+    id="ANM6Easy-v0",
+    entry_point="gym_anm_tpu.envs:ANM6Easy",
+)
+
+__all__ = [
+    "ANMEnv",
+    "ANM6",
+    "ANM6Easy",
+    "Simulator",
+    "MPCAgent",
+    "MPCAgentConstant",
+    "MPCAgentPerfect",
+]

@@ -1,0 +1,5 @@
+from .mpc import MPCAgent
+from .mpc_constant import MPCAgentConstant
+from .mpc_perfect import MPCAgentPerfect
+
+__all__ = ["MPCAgent", "MPCAgentConstant", "MPCAgentPerfect"]

@@ -1,0 +1,6 @@
+"""MPC DC-OPF baseline agent (placeholder; full batched QP solver lands next)."""
+
+
+class MPCAgent:
+    def __init__(self, *args, **kwargs):
+        raise NotImplementedError("MPCAgent is implemented in a later milestone this round.")

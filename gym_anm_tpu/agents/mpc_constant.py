@@ -1,0 +1,5 @@
+from .mpc import MPCAgent
+
+
+class MPCAgentConstant(MPCAgent):
+    pass

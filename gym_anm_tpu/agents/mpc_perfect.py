@@ -1,0 +1,5 @@
+from .mpc import MPCAgent
+
+
+class MPCAgentPerfect(MPCAgent):
+    pass

@@ -1,0 +1,272 @@
+"""The functional environment core.
+
+Pure-functional, jit/vmap/shard-able equivalent of the reference's
+``ANMEnv.step``/``reset`` control flow (``anm_env.py:235-453``):
+
+* action splitting [P_gen, Q_gen, P_des, Q_des] ordered by device ID
+  (anm_env.py:393-410),
+* ``next_vars`` -> [P_load, P_pot, aux] splitting (anm_env.py:376-391),
+* cost clipping and the terminal reward ``-c2 / (1 - gamma)``
+  (anm_env.py:423-432),
+* terminal absorbing zero-states (anm_env.py:365-367, 444-448),
+* reset rejection-sampling with the 100-attempt budget (anm_env.py:266-289).
+
+Terminality is data, not control flow: a diverged power flow sets a per-lane
+``terminated`` flag and the state is masked to the absorbing zero state, so
+batches of environments stay in lockstep (terminated lanes keep stepping on
+the zero state, which converges in 0 NR iterations and costs nothing).
+
+The task hooks are pure functions:
+
+* ``init_state_fn(key) -> s0``: the initial-state distribution, in the
+  reference's MW/MVAr/MWh layout ``[dev_p, dev_q, des_soc, gen_p_max, aux]``;
+* ``next_vars_fn(state_vec, key) -> [P_load (MW), P_pot (MW), aux]``.
+
+The Gymnasium adapter drives this core with host-side numpy hooks for
+drop-in reference compatibility; the batched API vmaps it directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .grid import GridSpec
+from .obs import GatherSpec, compile_gather, pack_observables, state_values_spec
+from .state import SimState, zeros_state
+from .transition import sim_reset, transition
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EnvState:
+    """Per-environment dynamic state."""
+
+    sim: SimState
+    aux: jax.Array  # [K]
+    terminated: jax.Array  # [] bool
+
+
+class StepOut(NamedTuple):
+    obs: jax.Array
+    reward: jax.Array
+    terminated: jax.Array
+    state_vec: jax.Array
+    e_loss: jax.Array
+    penalty: jax.Array
+
+
+class ResetOut(NamedTuple):
+    obs: jax.Array
+    state_vec: jax.Array
+    failed: jax.Array  # True if the 100-attempt budget was exhausted
+    n_tries: jax.Array
+
+
+def _select(pred, a, b):
+    """Pytree select: pred ? a : b (pred is a scalar bool per lane)."""
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+class EnvCore:
+    """Static environment configuration + pure step/reset functions.
+
+    Not a pytree: hold one per environment *class* and close over it in
+    jitted callables (all array members are constants folded into the
+    compiled program).
+    """
+
+    def __init__(
+        self,
+        spec: GridSpec,
+        K: int,
+        gamma: float,
+        costs_clipping=(None, None),
+        obs_values=None,
+        aux_bounds=None,
+        init_state_fn: Optional[Callable] = None,
+        next_vars_fn: Optional[Callable] = None,
+        obs_fn: Optional[Callable] = None,
+        x_tol: float = 1e-5,
+        max_iter: int = 100,
+    ):
+        self.spec = spec
+        self.K = int(K)
+        self.gamma = float(gamma)
+        c1 = np.inf if costs_clipping is None or costs_clipping[0] is None else float(costs_clipping[0])
+        c2 = np.inf if costs_clipping is None or costs_clipping[1] is None else float(costs_clipping[1])
+        self.costs_clipping = (c1, c2)
+        self.aux_bounds = aux_bounds
+        self.init_state_fn = init_state_fn
+        self.next_vars_fn = next_vars_fn
+        self.obs_fn = obs_fn
+        self.x_tol = x_tol
+        self.max_iter = max_iter
+
+        self.state_values = state_values_spec(spec, self.K)
+        self.state_gather: GatherSpec = compile_gather(spec, self.state_values, self.K, aux_bounds)
+        self.state_n = self.state_gather.n
+        if obs_values is not None:
+            self.obs_values = obs_values
+            self.obs_gather: Optional[GatherSpec] = compile_gather(spec, obs_values, self.K, aux_bounds)
+            self.obs_n = self.obs_gather.n
+        else:
+            self.obs_values = None
+            self.obs_gather = None
+            # Callable-observation mode: size probed lazily by the adapter.
+            self.obs_n = None
+
+        # Action bounds [P_gen, Q_gen, P_des, Q_des] x baseMVA, each block
+        # ordered by device ID (simulator.py:341-380, anm_env.py:475-495).
+        base = spec.baseMVA
+        lo = np.concatenate(
+            [
+                np.asarray(spec.gen_p_min) * base,
+                np.asarray(spec.dev_q_min)[np.asarray(spec.gen_pos)] * base,
+                np.asarray(spec.dev_p_min)[np.asarray(spec.des_pos)] * base,
+                np.asarray(spec.dev_q_min)[np.asarray(spec.des_pos)] * base,
+            ]
+        )
+        hi = np.concatenate(
+            [
+                np.asarray(spec.gen_p_max) * base,
+                np.asarray(spec.dev_q_max)[np.asarray(spec.gen_pos)] * base,
+                np.asarray(spec.dev_p_max)[np.asarray(spec.des_pos)] * base,
+                np.asarray(spec.dev_q_max)[np.asarray(spec.des_pos)] * base,
+            ]
+        )
+        self.action_low, self.action_high = lo, hi
+        self.action_n = lo.shape[0]
+        self.expected_s0_n = 2 * spec.n_dev + spec.n_des + spec.n_gen + self.K
+        self.expected_vars_n = spec.n_load + spec.n_gen + self.K
+
+    # ------------------------------------------------------------------
+    def state_vec(self, es: EnvState) -> jax.Array:
+        """The canonical state vector s_t (zeros in the absorbing state)."""
+        vec = self.state_gather(pack_observables(self.spec, es.sim, es.aux))
+        return jnp.where(es.terminated, jnp.zeros_like(vec), vec)
+
+    def observation(self, es: EnvState) -> jax.Array:
+        """o_t = clip(extract(s_t)) (anm_env.py:313-331), zeros if terminal."""
+        if self.obs_gather is not None:
+            obs = self.obs_gather(pack_observables(self.spec, es.sim, es.aux), clip=True)
+        elif self.obs_fn is not None:
+            obs = jnp.atleast_1d(self.obs_fn(self.state_vec(es)))
+        else:
+            # Host-side callable-observation mode: the adapter computes the
+            # observation itself; expose the state vector as a placeholder.
+            obs = self.state_vec(es)
+        return jnp.where(es.terminated, jnp.zeros_like(obs), obs)
+
+    # ------------------------------------------------------------------
+    def step(self, es: EnvState, action, vars) -> tuple[EnvState, StepOut]:
+        """One environment step given pre-sampled internal variables.
+
+        ``action`` is in MW/MVAr, ``vars = [P_load (MW), P_pot (MW), aux]``.
+        """
+        spec = self.spec
+        base = spec.baseMVA
+        n_gen, n_des, n_load = spec.n_gen, spec.n_des, spec.n_load
+        vars = jnp.asarray(vars, dtype=spec.dtype)
+        if vars.shape[-1] != self.expected_vars_n:
+            raise ValueError(
+                "Next vars vector has size %d but expected is %d" % (vars.shape[-1], self.expected_vars_n)
+            )
+        action = jnp.asarray(action, dtype=spec.dtype)
+
+        P_load = vars[:n_load] / base
+        P_pot = vars[n_load : n_load + n_gen] / base
+        aux_new = vars[n_load + n_gen :]
+
+        res = transition(
+            spec,
+            es.sim.des_soc,
+            P_load=P_load,
+            P_pot=P_pot,
+            P_set_gen=action[:n_gen] / base,
+            Q_set_gen=action[n_gen : 2 * n_gen] / base,
+            P_set_des=action[2 * n_gen : 2 * n_gen + n_des] / base,
+            Q_set_des=action[2 * n_gen + n_des :] / base,
+            x_tol=self.x_tol,
+            max_iter=self.max_iter,
+        )
+
+        c1, c2 = self.costs_clipping
+        newly_term = ~res.pfe_converged
+        e_c = jnp.sign(res.e_loss) * jnp.clip(jnp.abs(res.e_loss), 0.0, c1)
+        p_c = jnp.clip(res.penalty, 0.0, c2)
+        r = jnp.where(newly_term, -c2 / (1.0 - self.gamma), -(e_c + p_c))
+
+        prev = es.terminated
+        term = prev | newly_term
+        zero = zeros_state(spec)
+        sim_new = _select(term, zero, res.state)
+        aux_out = jnp.where(term, jnp.zeros_like(aux_new), aux_new)
+        es_new = EnvState(sim=sim_new, aux=aux_out, terminated=term)
+
+        r = jnp.where(prev, 0.0, r)
+        e_out = jnp.where(term, jnp.asarray(c1, spec.dtype), e_c)
+        p_out = jnp.where(term, jnp.asarray(c2, spec.dtype), p_c)
+
+        return es_new, StepOut(
+            obs=self.observation(es_new),
+            reward=r,
+            terminated=term,
+            state_vec=self.state_vec(es_new),
+            e_loss=e_out,
+            penalty=p_out,
+        )
+
+    def step_with_key(self, es: EnvState, action, key) -> tuple[EnvState, StepOut]:
+        """One step sampling the internal variables with ``next_vars_fn``."""
+        vars = self.next_vars_fn(self.state_vec(es), key)
+        return self.step(es, action, vars)
+
+    # ------------------------------------------------------------------
+    def env_state_from_s0(self, s0) -> EnvState:
+        """Apply one initial-state vector (no retry loop)."""
+        spec = self.spec
+        s0 = jnp.asarray(s0, dtype=spec.dtype)
+        if s0.shape[-1] != self.expected_s0_n:
+            # Mirrors anm_env.py:274-277.
+            from ..errors import EnvInitializationError
+
+            raise EnvInitializationError(
+                "Expected size of initial state s0 is %d but actual is %d" % (self.expected_s0_n, s0.shape[-1])
+            )
+        sim = sim_reset(spec, s0, x_tol=self.x_tol, max_iter=self.max_iter)
+        aux = s0[2 * spec.n_dev + spec.n_des + spec.n_gen :]
+        return EnvState(sim=sim, aux=aux, terminated=jnp.asarray(False))
+
+    def reset(self, key) -> tuple[EnvState, ResetOut]:
+        """Rejection-sample initial states until the load flow converges,
+        with the reference's 100-attempt budget (anm_env.py:266-289)."""
+        spec = self.spec
+
+        def attempt(key):
+            key, sub = jax.random.split(key)
+            es = self.env_state_from_s0(self.init_state_fn(sub))
+            return key, es, es.sim.pfe_converged
+
+        key0, es0, ok0 = attempt(key)
+
+        def cond(c):
+            _, _, ok, tries = c
+            return (~ok) & (tries < 100)
+
+        def body(c):
+            key, _, _, tries = c
+            key, es, ok = attempt(key)
+            return key, es, ok, tries + 1
+
+        _, es, ok, tries = jax.lax.while_loop(cond, body, (key0, es0, ok0, jnp.int32(1)))
+        # The reference raises after the 100th sampled state regardless of
+        # whether it converged (anm_env.py:284-289).
+        failed = tries >= 100
+        return es, ResetOut(
+            obs=self.observation(es), state_vec=self.state_vec(es), failed=failed, n_tries=tries
+        )

@@ -1,0 +1,183 @@
+"""The ``ANM6Easy-v0`` task (reference ``envs/anm6_env/anm6_easy.py``).
+
+Fully-observable 6-bus task with deterministic 24-hour load/generation
+profiles (piecewise-constant segments joined by linear ramps, 96 quarter-
+hour steps) and a single auxiliary variable: the time-of-day index.
+
+In addition to the reference's host-side ``init_state``/``next_vars`` hooks
+(using the Gymnasium ``np_random`` generator in the exact reference call
+order), this class provides the pure-JAX hooks ``init_state_jax(key)`` /
+``next_vars_jax(state_vec, key)`` used by the batched/vmapped fast path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+import jax.random as jrandom
+
+from .anm6 import ANM6
+
+
+def _profile(levels, ramps=None):
+    """Build one 96-step daily profile: 25 + 7 + 13 + 7 + 13 + 7 + 13 + 7 + 4
+    entries of [s1, s12, s2, s23, s3, s23[::-1], s2, s12[::-1], s1[:4]]
+    (anm6_easy.py:77-132)."""
+    s1, s12, s2, s23, s3 = levels
+    return np.concatenate((s1, s12, s2, s23, s3, s23[::-1], s2, s12[::-1], s1[:4]))
+
+
+def _get_load_time_series():
+    """Fixed 24-hour load time-series, shape (3, 96) (anm6_easy.py:77-107)."""
+    # Residential load (device 1).
+    P1 = _profile(
+        (-np.ones(25), np.linspace(-1.5, -4.5, 7), -5 * np.ones(13), np.linspace(-4.625, -2.375, 7), -2 * np.ones(13))
+    )
+    # Industrial load (device 3).
+    P3 = _profile(
+        (-4 * np.ones(25), np.linspace(-4.75, -9.25, 7), -10 * np.ones(13), np.linspace(-11.25, -18.75, 7), -20 * np.ones(13))
+    )
+    # EV-charging-station load (device 5).
+    P5 = _profile(
+        (np.zeros(25), np.linspace(-3.125, -21.875, 7), -25 * np.ones(13), np.linspace(-21.875, -3.125, 7), np.zeros(13))
+    )
+    P_loads = np.vstack((P1, P3, P5))
+    assert P_loads.shape == (3, 96)
+    return P_loads
+
+
+def _get_gen_time_series():
+    """Fixed 24-hour maximum-generation time-series, shape (2, 96)
+    (anm6_easy.py:110-132)."""
+    # Residential PV aggregation (device 2).
+    P2 = _profile(
+        (np.zeros(25), np.linspace(0.5, 3.5, 7), 4 * np.ones(13), np.linspace(7.25, 36.75, 7), 30 * np.ones(13))
+    )
+    # Wind farm (device 4).
+    P4 = _profile(
+        (40 * np.ones(25), np.linspace(36.375, 14.625, 7), 11 * np.ones(13), np.linspace(14.725, 36.375, 7), 40 * np.ones(13))
+    )
+    P_maxs = np.vstack((P2, P4))
+    assert P_maxs.shape == (2, 96)
+    return P_maxs
+
+
+class ANM6Easy(ANM6):
+    """The ``ANM6Easy-v0`` task (anm6_easy.py:8-74)."""
+
+    def __init__(self):
+        observation = "state"  # fully observable
+        K = 1
+        delta_t = 0.25  # 15 minutes between timesteps
+        gamma = 0.995
+        lamb = 100
+        aux_bounds = np.array([[0, 24 / delta_t - 1]])
+        costs_clipping = (1, 100)
+        super().__init__(observation, K, delta_t, gamma, lamb, aux_bounds, costs_clipping)
+
+        self.P_loads = _get_load_time_series()
+        self.P_maxs = _get_gen_time_series()
+        self._P_loads_j = jnp.asarray(self.P_loads)
+        self._P_maxs_j = jnp.asarray(self.P_maxs)
+
+    # ------------------------------------------------------------------
+    # Host (reference-RNG-order) hooks.
+    # ------------------------------------------------------------------
+    def init_state(self):
+        """Sample s0 at a random time of day (anm6_easy.py:25-52).
+
+        Reference quirks kept: the generator Q entries and storage SoC entry
+        are sampled from the *p.u.* device bounds even though the state
+        vector is in MVAr/MWh (anm6_easy.py:42-50).
+        """
+        n_dev, n_gen, n_des = 7, 2, 1
+        state = np.zeros(2 * n_dev + n_des + n_gen + self.K)
+
+        t_0 = self.np_random.integers(0, int(24 / self.delta_t))
+        state[-1] = t_0
+
+        for dev_id, p_load in zip([1, 3, 5], self.P_loads):
+            state[dev_id] = p_load[t_0]
+            state[n_dev + dev_id] = p_load[t_0] * self.simulator.devices[dev_id].qp_ratio
+
+        for idx, (dev_id, p_max) in enumerate(zip([2, 4], self.P_maxs)):
+            state[2 * n_dev + n_des + idx] = p_max[t_0]
+            state[dev_id] = p_max[t_0]
+            state[n_dev + dev_id] = self.np_random.uniform(
+                self.simulator.devices[dev_id].q_min, self.simulator.devices[dev_id].q_max
+            )
+
+        for idx, dev_id in enumerate([6]):
+            state[2 * n_dev + idx] = self.np_random.uniform(
+                self.simulator.devices[dev_id].soc_min, self.simulator.devices[dev_id].soc_max
+            )
+
+        return state
+
+    def next_vars(self, s_t):
+        """Deterministic table lookup by time-of-day (anm6_easy.py:54-65)."""
+        aux = int((s_t[-1] + 1) % (24 / self.delta_t))
+        vars = [p_load[aux] for p_load in self.P_loads]
+        vars += [p_max[aux] for p_max in self.P_maxs]
+        vars.append(aux)
+        return np.array(vars)
+
+    def reset(self, **kwargs):
+        obs, info = super().reset(**kwargs)
+
+        # Advance the rendering clock to the sampled time of day
+        # (anm6_easy.py:67-74).
+        new_date = self.date + self.state[-1] * self.timestep_length
+        super().reset_date(new_date)
+
+        return obs, info
+
+    # ------------------------------------------------------------------
+    # Pure-JAX hooks for the batched fast path.
+    # ------------------------------------------------------------------
+    def init_state_jax(self, key):
+        return anm6easy_init_state(key, self._P_loads_j, self._P_maxs_j)
+
+    def next_vars_jax(self, s_t, key):
+        return anm6easy_next_vars(s_t, self._P_loads_j, self._P_maxs_j)
+
+
+def anm6easy_init_state(key, P_loads, P_maxs):
+    """Pure-functional ANM6Easy initial-state distribution.
+
+    Matches the reference distribution (anm6_easy.py:25-52) -- including its
+    p.u.-valued generator-Q / SoC quirks -- but draws from a JAX PRNG key,
+    so individual samples differ from the NumPy-PCG64 host path.
+    """
+    n_dev, n_gen, n_des, K = 7, 2, 1, 1
+    k_t, k_q2, k_q4, k_soc = jrandom.split(key, 4)
+    t0 = jrandom.randint(k_t, (), 0, 96)
+
+    state = jnp.zeros((2 * n_dev + n_des + n_gen + K,), dtype=P_loads.dtype)
+    state = state.at[-1].set(t0.astype(P_loads.dtype))
+
+    qp_ratio = 0.2
+    for i, dev_id in enumerate([1, 3, 5]):
+        state = state.at[dev_id].set(P_loads[i, t0])
+        state = state.at[n_dev + dev_id].set(P_loads[i, t0] * qp_ratio)
+
+    # Generator (P, Q); Q sampled over p.u. bounds (+-0.3 / +-0.5), SoC over
+    # p.u. bounds [0, 1] -- the reference quirk.
+    q_bounds = ((-0.3, 0.3), (-0.5, 0.5))
+    for idx, (dev_id, kq) in enumerate(zip([2, 4], (k_q2, k_q4))):
+        state = state.at[2 * n_dev + n_des + idx].set(P_maxs[idx, t0])
+        state = state.at[dev_id].set(P_maxs[idx, t0])
+        lo, hi = q_bounds[idx]
+        state = state.at[n_dev + dev_id].set(jrandom.uniform(kq, (), P_loads.dtype, lo, hi))
+
+    state = state.at[2 * n_dev].set(jrandom.uniform(k_soc, (), P_loads.dtype, 0.0, 1.0))
+    return state
+
+
+def anm6easy_next_vars(s_t, P_loads, P_maxs):
+    """Pure-functional ANM6Easy ``next_vars`` (anm6_easy.py:54-65)."""
+    aux = jnp.mod(s_t[-1] + 1, 96).astype(jnp.int32)
+    vars = jnp.concatenate(
+        [P_loads[:, aux], P_maxs[:, aux], jnp.asarray(aux, dtype=P_loads.dtype).reshape(1)]
+    )
+    return vars

@@ -1,0 +1,316 @@
+"""The Gymnasium adapter: base class for gym-anm-style environments.
+
+Drop-in equivalent of the reference ``ANMEnv`` (``gym_anm/envs/anm_env.py``):
+same constructor signature, task hooks (``init_state()``/``next_vars()``),
+observation mini-language, reset retry loop, terminal semantics, cost
+clipping, spaces and error behavior.  Internally every step is one jitted
+XLA program (:class:`gym_anm_tpu.core.env_core.EnvCore`); this class only
+performs host-side orchestration, validation and numpy conversion.
+
+Tasks that additionally provide pure-JAX hooks (``init_state_jax(key)`` and
+``next_vars_jax(state_vec, key)``) can be stepped in batch without the host
+in the loop -- see :class:`gym_anm_tpu.envs.batched.BatchedEnv`.
+"""
+
+from __future__ import annotations
+
+from copy import deepcopy
+from typing import Optional
+
+import numpy as np
+import gymnasium as gym
+from gymnasium import spaces
+
+import jax
+
+from ..constants import STATE_VARIABLES
+from ..core.env_core import EnvCore, EnvState
+from ..errors import (
+    EnvInitializationError,
+    EnvNextVarsError,
+    ObsNotSupportedError,
+    ObsSpaceError,
+)
+from ..simulator import Simulator
+from .utils import check_env_args
+
+
+class ANMEnv(gym.Env):
+    """Base class for ANM reinforcement-learning environments.
+
+    Parameters mirror the reference (anm_env.py:79-113): ``network`` dict,
+    ``observation`` ("state" | list of (quantity, ids|'all', unit?) |
+    callable), ``K`` aux vars, ``delta_t`` (hours), ``gamma``, ``lamb``,
+    optional ``aux_bounds``, ``costs_clipping=(c1, c2)``, ``seed``.
+    """
+
+    def __init__(
+        self,
+        network,
+        observation,
+        K,
+        delta_t,
+        gamma,
+        lamb,
+        aux_bounds=None,
+        costs_clipping=None,
+        seed=None,
+    ):
+        super().reset(seed=seed)
+
+        self.K = K
+        self.gamma = gamma
+        self.lamb = lamb
+        self.delta_t = delta_t
+        self.aux_bounds = aux_bounds
+
+        if costs_clipping is None:
+            c1, c2 = np.inf, np.inf
+        else:
+            c1 = np.inf if costs_clipping[0] is None else costs_clipping[0]
+            c2 = np.inf if costs_clipping[1] is None else costs_clipping[1]
+        self.costs_clipping = (c1, c2)
+
+        self.simulator = Simulator(network, self.delta_t, self.lamb)
+
+        check_env_args(K, delta_t, lamb, gamma, observation, aux_bounds, self.simulator.state_bounds)
+
+        # Canonical state layout (anm_env.py:139-147).
+        self.state_values = [
+            ("dev_p", "all", "MW"),
+            ("dev_q", "all", "MVAr"),
+            ("des_soc", "all", "MWh"),
+            ("gen_p_max", "all", "MW"),
+            ("aux", "all", None),
+        ]
+        self.state_values = self._expand_all_ids(self.state_values)
+        self.state_N = sum(len(s[1]) for s in self.state_values)
+
+        # Observation spec (anm_env.py:497-521).
+        self.obs_values = self._build_observation_space(observation)
+
+        self._core = EnvCore(
+            self.simulator.spec,
+            K=K,
+            gamma=gamma,
+            costs_clipping=self.costs_clipping,
+            obs_values=self.obs_values,
+            aux_bounds=aux_bounds,
+        )
+        self._step_jit = jax.jit(self._core.step)
+        self._reset_s0_jit = jax.jit(self._core.env_state_from_s0)
+        self._es: Optional[EnvState] = None
+
+        self.action_space = spaces.Box(
+            low=np.asarray(self._core.action_low), high=np.asarray(self._core.action_high), dtype=np.float64
+        )
+        self.observation_space = self.observation_bounds()
+        if self.observation_space is not None:
+            self.observation_N = self.observation_space.shape[0]
+
+        self.state = None
+        self.terminated = False
+        self.render_mode = None
+        self.timestep = 0
+        self.e_loss = 0.0
+        self.penalty = 0.0
+        self.pfe_converged = None
+
+    # ------------------------------------------------------------------
+    # Task hooks (to be implemented by subclasses; anm_env.py:158-191).
+    # ------------------------------------------------------------------
+    def init_state(self):
+        """Sample an initial state vector s0 (MW/MVAr/MWh layout)."""
+        raise NotImplementedError
+
+    def next_vars(self, s_t):
+        """Sample the internal variables [P_load, P_pot_gen, aux]."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def observation_bounds(self):
+        """Bounds of the observation space (anm_env.py:193-233)."""
+        if self.obs_values is None:
+            return None
+        core = self._core
+        return spaces.Box(low=np.asarray(core.obs_gather.low), high=np.asarray(core.obs_gather.high), dtype=np.float64)
+
+    def observation(self, s_t):
+        """o_t extracted from the current simulator state and clipped into the
+        observation space (anm_env.py:313-331). Overridable."""
+        obs = np.asarray(self._core.observation(self._es), dtype=np.float64)
+        return np.clip(obs, self.observation_space.low, self.observation_space.high)
+
+    # ------------------------------------------------------------------
+    def reset(self, *, seed: Optional[int] = None, options: Optional[dict] = None):
+        """Reset the environment (anm_env.py:235-311)."""
+        super().reset(seed=seed, options=options)
+
+        self.terminated = False
+        self.render_mode = None
+        self.timestep = 0
+        self.e_loss = 0.0
+        self.penalty = 0.0
+
+        expected = self._core.expected_s0_n
+        n_init_states_max = 100
+        init_state_found = False
+        n_init_states = 0
+        while not init_state_found:
+            n_init_states += 1
+            s0 = np.asarray(self.init_state(), dtype=np.float64)
+            if s0.size != expected:
+                raise EnvInitializationError(
+                    "Expected size of initial state s0 is %d but actual is %d" % (expected, s0.size)
+                )
+            es = self._reset_s0_jit(s0)
+            init_state_found = bool(es.sim.pfe_converged)
+            if n_init_states == n_init_states_max:
+                raise EnvInitializationError(
+                    "No non-terminal state found out of %d initial states for environment %s"
+                    % (n_init_states_max, type(self).__name__)
+                )
+
+        self._es = es
+        self.simulator.set_sim_state(es.sim)
+        self.pfe_converged = True
+        self.state = np.asarray(self._core.state_vec(es), dtype=np.float64)
+
+        obs = self.observation(self.state)
+
+        if self.observation_space is None:
+            self.observation_space = spaces.Box(
+                low=-np.ones(len(obs)) * np.inf, high=np.ones(len(obs)) * np.inf
+            )
+            self.observation_N = self.observation_space.shape[0]
+
+        err_msg = "Observation %r (%s) invalid." % (obs, type(obs))
+        assert self.observation_space.contains(obs), err_msg
+
+        if self.terminated:
+            self.state = self._terminal_state(self.state_N)
+            obs = self._terminal_state(self.observation_N)
+
+        return obs, {}
+
+    def step(self, action):
+        """Take one control action (anm_env.py:333-453)."""
+        err_msg = "Action %r (%s) invalid." % (action, type(action))
+        assert self.action_space.contains(action), err_msg
+
+        truncated = False
+        info = {}
+
+        # 0. Remain in the terminal absorbing state.
+        if self.terminated:
+            obs = self._terminal_state(self.observation_N)
+            return obs, 0.0, self.terminated, truncated, info
+
+        # 1. Sample internal variables.
+        vars = np.asarray(self.next_vars(self.state), dtype=np.float64)
+        expected_size = self._core.expected_vars_n
+        if vars.size != expected_size:
+            raise EnvNextVarsError(
+                "Next vars vector has size %d but expected is %d" % (vars.size, expected_size)
+            )
+        aux = vars[self.simulator.N_load + self.simulator.N_non_slack_gen :]
+        assert len(aux) == self.K, "Only {} auxiliary variables are generated, but K={} are expected.".format(
+            len(aux), self.K
+        )
+
+        # 2-4. The jitted core: transition + reward + terminal masking.
+        es, out = self._step_jit(self._es, np.asarray(action, dtype=np.float64), vars)
+        self._es = es
+        self.terminated = bool(out.terminated)
+        self.e_loss = float(out.e_loss)
+        self.penalty = float(out.penalty)
+        self.simulator.set_sim_state(es.sim, converged=not self.terminated)
+        self.pfe_converged = not self.terminated
+        r = float(out.reward)
+
+        if not self.terminated:
+            self.state = np.asarray(out.state_vec, dtype=np.float64)
+            obs = self.observation(self.state)
+            err_msg = "Observation %r (%s) invalid." % (obs, type(obs))
+            assert self.observation_space.contains(obs), err_msg
+        else:
+            self.state = self._terminal_state(self.state_N)
+            obs = self._terminal_state(self.observation_N)
+
+        # 5. Update the timestep.
+        self.timestep += 1
+
+        return obs, r, self.terminated, truncated, info
+
+    def render(self, mode="human"):
+        """Update the rendering (to be overwritten; anm_env.py:455-463)."""
+        raise NotImplementedError()
+
+    def close(self):
+        """Close the rendering (to be overwritten; anm_env.py:465-473)."""
+        raise NotImplementedError()
+
+    # ------------------------------------------------------------------
+    def _build_observation_space(self, observation):
+        """Handle the three observation-spec modes (anm_env.py:497-521)."""
+        if isinstance(observation, str) and observation == "state":
+            obs_values = deepcopy(self.state_values)
+        elif isinstance(observation, list):
+            obs_values = deepcopy(observation)
+            for idx, o in enumerate(obs_values):
+                if len(o) == 2:
+                    obs_values[idx] = tuple(list(o) + [STATE_VARIABLES[o[0]][0]])
+        elif callable(observation):
+            obs_values = None
+            self.observation = observation
+        else:
+            raise ObsSpaceError()
+
+        return self._expand_all_ids(obs_values)
+
+    def _expand_all_ids(self, values):
+        """Translate the 'all' option into concrete ID lists (anm_env.py:523-549)."""
+        if values is not None:
+            spec = self.simulator.spec
+            for idx, o in enumerate(values):
+                if isinstance(o[1], str) and o[1] == "all":
+                    if "bus" in o[0]:
+                        ids = list(spec.bus_ids)
+                    elif "dev" in o[0]:
+                        ids = list(spec.dev_ids)
+                    elif "des" in o[0]:
+                        ids = list(spec.des_ids)
+                    elif "gen" in o[0]:
+                        ids = list(spec.gen_ids)
+                    elif "branch" in o[0]:
+                        ids = list(spec.branch_ids)
+                    elif o[0] == "aux":
+                        ids = list(range(0, self.K))
+                    else:
+                        raise ObsNotSupportedError(o[0], STATE_VARIABLES.keys())
+                    values[idx] = (o[0], ids, o[2])
+        return values
+
+    def _construct_state(self):
+        """The canonical state vector s_t (anm_env.py:551-560)."""
+        return np.asarray(self._core.state_vec(self._es), dtype=np.float64)
+
+    def _extract_state_variables(self, values):
+        """Extract given (quantity, ids, unit) values from the simulator state
+        (anm_env.py:562-592)."""
+        full_state = self.simulator.state
+        out = []
+        for value in values:
+            for idx in value[1]:
+                if value[0] in full_state.keys():
+                    o = full_state[value[0]][value[2]][idx]
+                elif value[0] == "aux":
+                    o = self.state[idx - self.K]
+                else:
+                    raise ObsNotSupportedError(value[0], STATE_VARIABLES.keys())
+                out.append(o)
+        return np.array(out)
+
+    def _terminal_state(self, n):
+        """The absorbing zero-state (anm_env.py:594-608)."""
+        return np.zeros(n)

@@ -1,0 +1,3 @@
+from .facade import Simulator
+
+__all__ = ["Simulator"]

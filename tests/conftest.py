@@ -1,0 +1,43 @@
+"""Test configuration.
+
+Tests run on CPU (deterministic, x64-capable) with 8 virtual devices so the
+multi-chip sharding paths can be exercised without TPU hardware.  The real
+TPU path is exercised by ``bench.py``.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def reference():
+    """Import the reference gym-anm from /root/reference with stub modules
+    for its unavailable deps (cvxpy -> exact-QP stub, websocket_server).
+
+    The cvxpy stub solves the reference's projection QPs *exactly* (the
+    feasible sets are small 2-D polytopes), so reference trajectories are
+    reproduced to float64 precision rather than ECOS's ~1e-8.
+    """
+    ref_path = "/root/reference"
+    if not os.path.isdir(os.path.join(ref_path, "gym_anm")):
+        pytest.skip("reference repo not available")
+    from tests import cvxpy_stub
+
+    sys.modules.setdefault("cvxpy", cvxpy_stub)
+    sys.modules.setdefault("websocket_server", cvxpy_stub.FakeWebsocketServerModule())
+    if ref_path not in sys.path:
+        sys.path.insert(0, ref_path)
+    import gym_anm  # noqa: F401
+
+    return gym_anm

@@ -1,0 +1,142 @@
+"""A minimal exact-QP stand-in for cvxpy, sufficient for the reference's
+``map_pq`` projections (min ||x - point||^2  s.t.  G x <= h  with x in R^2).
+
+The projection of a point onto a 2-D convex polytope is either the point,
+the foot of a perpendicular onto one facet line, or a vertex; enumerating
+those candidates gives the *exact* minimizer, so the reference driven by
+this stub is a float64-exact oracle (ECOS would only give ~1e-8).
+"""
+
+import numpy as np
+
+
+def _project_polytope_np(point, G, h, eps=1e-12):
+    G = np.asarray(G, dtype=float)
+    h = np.asarray(h, dtype=float)
+    point = np.asarray(point, dtype=float)
+    m = G.shape[0]
+    active = np.all(np.isfinite(G), axis=1) & np.isfinite(h)
+    tol = 1e-9 * (1.0 + np.where(np.isfinite(h), np.abs(h), 0.0))
+
+    def feasible(x):
+        gx = G @ x
+        return np.all(np.where(active, gx - (h + tol) <= 0, True))
+
+    cands = [point]
+    for i in range(m):
+        gg = G[i] @ G[i]
+        if active[i] and gg > 0:
+            cands.append(point - (G[i] @ point - h[i]) / gg * G[i])
+    for i in range(m):
+        for j in range(i + 1, m):
+            if not (active[i] and active[j]):
+                continue
+            det = G[i, 0] * G[j, 1] - G[i, 1] * G[j, 0]
+            if np.abs(det) < eps * max(1.0, np.linalg.norm(G[i]) * np.linalg.norm(G[j])):
+                continue
+            x = np.array(
+                [
+                    (h[i] * G[j, 1] - h[j] * G[i, 1]) / det,
+                    (G[i, 0] * h[j] - G[j, 0] * h[i]) / det,
+                ]
+            )
+            cands.append(x)
+
+    best, best_d = None, np.inf
+    for c in cands:
+        if np.all(np.isfinite(c)) and feasible(c):
+            d = np.sum((c - point) ** 2)
+            if d < best_d:
+                best, best_d = c, d
+    if best is None:
+        raise ValueError("infeasible projection problem")
+    return best
+
+
+class Variable:
+    # Make numpy defer binary ops (e.g. ndarray @ Variable) to our
+    # __rmatmul__ instead of raising inside np.matmul.
+    __array_ufunc__ = None
+    __array_priority__ = 1000
+
+    def __init__(self, n=1, nonneg=False):
+        self.n = n
+        self.value = None
+
+    def __rmatmul__(self, G):
+        return _MatVec(G, self)
+
+    def __sub__(self, other):
+        return _Shifted(self, np.asarray(other, dtype=float))
+
+
+class _MatVec:
+    def __init__(self, G, var):
+        self.G = np.asarray(G, dtype=float)
+        self.var = var
+
+    def __le__(self, h):
+        return _IneqConstraint(self.G, np.asarray(h, dtype=float), self.var)
+
+
+class _IneqConstraint:
+    def __init__(self, G, h, var):
+        self.G, self.h, self.var = G, h, var
+
+
+class _Shifted:
+    def __init__(self, var, point):
+        self.var, self.point = var, point
+
+
+class _SumSquares:
+    def __init__(self, shifted):
+        self.shifted = shifted
+
+
+def sum_squares(expr):
+    return _SumSquares(expr)
+
+
+class Minimize:
+    def __init__(self, obj):
+        self.obj = obj
+
+
+class Problem:
+    def __init__(self, objective, constraints=()):
+        self.objective = objective
+        self.constraints = list(constraints)
+        self.status = "optimal"
+
+    def solve(self, *args, **kwargs):
+        obj = self.objective.obj
+        assert isinstance(obj, _SumSquares), "stub supports projection QPs only"
+        shifted = obj.shifted
+        var = shifted.var
+        point = shifted.point
+        assert len(self.constraints) == 1
+        con = self.constraints[0]
+        var.value = _project_polytope_np(point, con.G, con.h)
+        return float(np.sum((var.value - point) ** 2))
+
+
+class Parameter:
+    def __init__(self, shape=(), nonneg=False):
+        self.shape = shape
+        self.value = None
+
+
+def maximum(*args, **kwargs):  # pragma: no cover - not needed for parity tests
+    raise NotImplementedError("cvxpy stub: MPC path not supported")
+
+
+abs = maximum  # pragma: no cover
+
+
+class FakeWebsocketServerModule:
+    """Stub for the ``websocket_server`` module (rendering is not exercised)."""
+
+    class WebsocketServer:  # pragma: no cover
+        def __init__(self, *a, **k):
+            raise NotImplementedError("websocket_server stub")
