@@ -179,8 +179,11 @@ class ANMEnv(gym.Env):
         obs = self.observation(self.state)
 
         if self.observation_space is None:
+            # dtype=float64 (the reference leaves the Box at its float32
+            # default, which fails Gymnasium's contains() dtype check for
+            # float64 observations).
             self.observation_space = spaces.Box(
-                low=-np.ones(len(obs)) * np.inf, high=np.ones(len(obs)) * np.inf
+                low=-np.ones(len(obs)) * np.inf, high=np.ones(len(obs)) * np.inf, dtype=np.float64
             )
             self.observation_N = self.observation_space.shape[0]
 

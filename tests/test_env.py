@@ -1,0 +1,168 @@
+"""Environment API machinery: observation modes, spaces, terminal semantics,
+reset retries (ports tests/envs/custom_obs_space.py + env-level behavior)."""
+
+import numpy as np
+import pytest
+
+from gym_anm_tpu import ANMEnv
+from gym_anm_tpu.errors import ArgsError, EnvInitializationError, EnvNextVarsError, ObsSpaceError
+
+
+def simple_network():
+    return {
+        "baseMVA": 100,
+        "bus": np.array([[0, 0, 132, 1.0, 1.0], [1, 1, 33, 1.1, 0.9]]),
+        "device": np.array(
+            [
+                [0, 0, 0, None, 200, -200, 200, -200] + [None] * 7,
+                [1, 1, -1, 0.2, 0, -10] + [None] * 9,
+            ],
+            dtype=object,
+        ),
+        "branch": np.array([[0, 1, 0.01, 0.1, 0.0, 3, 1, 0]]),
+    }
+
+
+class SimpleEnv(ANMEnv):
+    """2-bus env mirroring examples/simple_env.py."""
+
+    def __init__(self, observation="state", K=1):
+        super().__init__(simple_network(), observation, K, 0.25, 0.9, 100, np.array([[0, 10]] * K), (1, 100), 1)
+
+    def init_state(self):
+        n_dev, n_des, n_gen = 2, 0, 0
+        s = np.zeros(2 * n_dev + n_des + n_gen + self.K)
+        s[1] = -self.np_random.uniform(0, 5)
+        s[self.simulator.N_device + 1] = s[1] * 0.2
+        return s
+
+    def next_vars(self, s_t):
+        return np.array([-5 * self.np_random.uniform()] + [1.0] * self.K)
+
+
+def test_full_state_observation():
+    env = SimpleEnv("state")
+    o, _ = env.reset(seed=1)
+    assert o.shape == (2 * 2 + 0 + 0 + 1,)
+    np.testing.assert_allclose(o, env.state)
+
+
+def test_list_observation_space():
+    env = SimpleEnv([("bus_p", [1], "MW"), ("dev_q", "all"), ("aux", [0])])
+    o, _ = env.reset(seed=1)
+    assert o.shape == (4,)
+    # Bounds assembled from state_bounds in the right units.
+    b = env.simulator.state_bounds
+    np.testing.assert_allclose(env.observation_space.low[0], b["bus_p"][1]["MW"][0])
+    np.testing.assert_allclose(env.observation_space.high[1], b["dev_q"][0]["MVAr"][1])
+    # dev_q default unit is MVAr (first in the registry).
+    a = env.action_space.sample()
+    o2, r, term, trunc, _ = env.step(a)
+    # bus 1 P injection equals the load's P (only device there), in MW.
+    np.testing.assert_allclose(o2[0], env.simulator.state["bus_p"]["MW"][1], atol=1e-9)
+    np.testing.assert_allclose(o2[3], 1.0)  # aux
+
+
+def test_callable_observation():
+    f = lambda s: s[:2]
+    env = SimpleEnv(f)
+    o, _ = env.reset(seed=1)
+    assert o.shape == (2,)
+    assert env.observation_space.shape == (2,)
+    o2, r, term, trunc, _ = env.step(env.action_space.sample())
+    np.testing.assert_allclose(o2, env.state[:2])
+
+
+def test_bad_observation_specs():
+    with pytest.raises(Exception):
+        SimpleEnv([("nonexistent_quantity", "all")])
+    with pytest.raises(Exception):
+        SimpleEnv([("bus_p", [99])])
+    with pytest.raises(Exception):
+        SimpleEnv([("bus_p", [0], "furlongs")])
+    with pytest.raises(ArgsError):
+        SimpleEnv(42)
+
+
+def test_bad_env_args():
+    class BadK(SimpleEnv):
+        def __init__(self):
+            ANMEnv.__init__(self, simple_network(), "state", -1, 0.25, 0.9, 100)
+
+    with pytest.raises(ArgsError):
+        BadK()
+
+
+def test_next_vars_size_error():
+    class BadVars(SimpleEnv):
+        def next_vars(self, s_t):
+            return np.zeros(5)
+
+    env = BadVars()
+    env.reset(seed=1)
+    with pytest.raises(EnvNextVarsError):
+        env.step(env.action_space.sample())
+
+
+def test_init_state_size_error():
+    class BadInit(SimpleEnv):
+        def init_state(self):
+            return np.zeros(3)
+
+    with pytest.raises(EnvInitializationError):
+        BadInit().reset(seed=1)
+
+
+def test_deterministic_given_seed():
+    env1, env2 = SimpleEnv(), SimpleEnv()
+    o1, _ = env1.reset(seed=33)
+    o2, _ = env2.reset(seed=33)
+    np.testing.assert_array_equal(o1, o2)
+    env1.action_space.seed(3)
+    env2.action_space.seed(3)
+    for _ in range(5):
+        a1, a2 = env1.action_space.sample(), env2.action_space.sample()
+        np.testing.assert_array_equal(a1, a2)
+        s1 = env1.step(a1)
+        s2 = env2.step(a2)
+        np.testing.assert_array_equal(s1[0], s2[0])
+        assert s1[1] == s2[1]
+
+
+def test_terminal_absorbing_state():
+    """After collapse: zero obs, r = -c2/(1-gamma) once, then r=0 forever."""
+
+    class CollapsingEnv(SimpleEnv):
+        def __init__(self):
+            net = simple_network()
+            net["device"][1][5] = -1e6  # unbounded load
+            ANMEnv.__init__(self, net, "state", 1, 0.25, 0.9, 100, np.array([[0, 10]]), (1, 100), 1)
+
+        def init_state(self):
+            s = np.zeros(2 * 2 + 1)
+            s[1] = -1.0
+            return s
+
+        def next_vars(self, s_t):
+            return np.array([-1e6, 1.0])  # catastrophic load -> collapse
+
+    env = CollapsingEnv()
+    env.reset(seed=1)
+    a = env.action_space.sample()
+    o, r, term, trunc, _ = env.step(a)
+    assert term
+    np.testing.assert_allclose(o, np.zeros_like(o))
+    np.testing.assert_allclose(r, -100 / (1 - 0.9))
+    assert env.e_loss == 1 and env.penalty == 100
+    o, r, term, trunc, _ = env.step(a)
+    assert term and r == 0.0
+    np.testing.assert_allclose(o, np.zeros_like(o))
+
+
+def test_reset_gives_valid_state_dict():
+    env = SimpleEnv()
+    env.reset(seed=2)
+    st = env.simulator.state
+    assert set(st.keys()) >= {"bus_p", "dev_p", "bus_v_magn", "branch_s"}
+    # v at slack is 1 pu.
+    np.testing.assert_allclose(st["bus_v_magn"]["pu"][0], 1.0)

@@ -1,0 +1,98 @@
+"""Global network-dict validation (ports tests/simulator/test_network_checks.py)."""
+
+import numpy as np
+import pytest
+
+from gym_anm_tpu.core.grid import check_network_specs
+from gym_anm_tpu.errors import BaseMVAError, BranchSpecError, BusSpecError, DeviceSpecError
+
+
+def base_network():
+    return {
+        "baseMVA": 100,
+        "bus": np.array([[0, 0, 132, 1.1, 0.9], [1, 1, 33, 1.1, 0.9]]),
+        "device": np.array(
+            [
+                [0, 0, 0, None, 200, -200, 200, -200, None, None, None, None, None, None, None],
+                [1, 1, -1, 0.2, 0, -10, None, None, None, None, None, None, None, None, None],
+            ],
+            dtype=object,
+        ),
+        "branch": np.array([[0, 1, 0.01, 0.1, 0.0, 32, 1, 0]]),
+    }
+
+
+def test_valid_network_passes():
+    check_network_specs(base_network())
+
+
+@pytest.mark.parametrize("baseMVA", [0, -1, -100])
+def test_bad_base_mva(baseMVA):
+    net = base_network()
+    net["baseMVA"] = baseMVA
+    with pytest.raises(BaseMVAError):
+        check_network_specs(net)
+
+
+def test_no_slack_bus():
+    net = base_network()
+    net["bus"] = np.array([[0, 1, 132, 1.1, 0.9], [1, 1, 33, 1.1, 0.9]])
+    with pytest.raises(BusSpecError):
+        check_network_specs(net)
+
+
+def test_two_slack_buses():
+    net = base_network()
+    net["bus"] = np.array([[0, 0, 132, 1.1, 0.9], [1, 0, 33, 1.1, 0.9]])
+    with pytest.raises(BusSpecError):
+        check_network_specs(net)
+
+
+def test_no_slack_device():
+    net = base_network()
+    net["device"][0][2] = 1
+    with pytest.raises(DeviceSpecError):
+        check_network_specs(net)
+
+
+def test_two_slack_devices():
+    net = base_network()
+    net["device"][1][2] = 0
+    with pytest.raises(DeviceSpecError):
+        check_network_specs(net)
+
+
+def test_slack_bus_device_mismatch():
+    net = base_network()
+    net["device"][0][1] = 1  # slack device on non-slack bus
+    with pytest.raises(DeviceSpecError):
+        check_network_specs(net)
+
+
+def test_duplicate_bus_ids():
+    net = base_network()
+    net["bus"] = np.array([[0, 0, 132, 1.1, 0.9], [0, 1, 33, 1.1, 0.9]])
+    with pytest.raises(BusSpecError):
+        check_network_specs(net)
+
+
+def test_duplicate_device_ids():
+    net = base_network()
+    net["device"][1][0] = 0
+    with pytest.raises(DeviceSpecError):
+        check_network_specs(net)
+
+
+@pytest.mark.parametrize("second", [[0, 1], [1, 0]])
+def test_parallel_branches(second):
+    net = base_network()
+    net["branch"] = np.array([[0, 1, 0.01, 0.1, 0.0, 32, 1, 0], [second[0], second[1], 0.02, 0.2, 0.0, 32, 1, 0]])
+    with pytest.raises(BranchSpecError):
+        check_network_specs(net)
+
+
+def test_dangling_branch():
+    net = base_network()
+    net["branch"] = np.array([[0, 2, 0.01, 0.1, 0.0, 32, 1, 0]])
+    with pytest.raises(BranchSpecError):
+        check_network_specs(net)

@@ -1,0 +1,157 @@
+"""Power-flow correctness: physics-invariant checks on randomized networks
+(ports tests/simulator/test_simulator_transitions.py's `_check_pfe_solution`
+strategy) plus Y-bus construction vs a hand-computed transformer case
+(ports test_simulator_basics.py:48-67)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gym_anm_tpu.core.grid import build_grid
+from gym_anm_tpu.core.transition import transition
+from gym_anm_tpu.ops.power_flow import solve_pfe
+
+
+def two_bus_net():
+    return {
+        "baseMVA": 100,
+        "bus": np.array([[0, 0, 132, 1.0, 1.0], [1, 1, 33, 1.1, 0.9]]),
+        "device": np.array(
+            [
+                [0, 0, 0, None, 200, -200, 200, -200] + [None] * 7,
+                [1, 1, -1, 0.2, 0, -10] + [None] * 9,
+            ],
+            dtype=object,
+        ),
+        "branch": np.array([[0, 1, 0.01, 0.1, 0.0, 30, 1, 0]]),
+    }
+
+
+def three_bus_loop_net():
+    return {
+        "baseMVA": 100,
+        "bus": np.array([[0, 0, 132, 1.0, 1.0], [1, 1, 33, 1.1, 0.9], [2, 1, 33, 1.1, 0.9]]),
+        "device": np.array(
+            [
+                [0, 0, 0, None, 200, -200, 200, -200] + [None] * 7,
+                [1, 1, -1, 0.2, 0, -10] + [None] * 9,
+                [2, 2, 1, None, 30, 0, 30, -30] + [None] * 7,
+            ],
+            dtype=object,
+        ),
+        "branch": np.array(
+            [
+                [0, 1, 0.01, 0.1, 0.0, 30, 1, 0],
+                [1, 2, 0.02, 0.1, 0.02, 30, 1, 0],
+                [0, 2, 0.01, 0.15, 0.0, 30, 1.02, 10],
+            ]
+        ),
+    }
+
+
+def test_ybus_hand_computed_transformer():
+    """Y-bus for a 3-bus network with an off-nominal transformer."""
+    net = three_bus_loop_net()
+    spec, recs = build_grid(net, 1.0, 10)
+    Y = np.asarray(spec.Y)
+
+    # Recompute from the pi-model directly.
+    n = 3
+    Yh = np.zeros((n, n), dtype=complex)
+    for row in net["branch"]:
+        f, t, r, x, b, _, tap_m, shift = row
+        f, t = int(f), int(t)
+        ys = 1 / (r + 1j * x)
+        ysh = 1j * b / 2
+        tap = tap_m * np.exp(1j * np.deg2rad(shift))
+        Yh[f, t] -= ys / np.conj(tap)
+        Yh[t, f] -= ys / tap
+        Yh[f, f] += (ys + ysh) / abs(tap) ** 2
+        Yh[t, t] += ys + ysh
+    np.testing.assert_allclose(Y, Yh, rtol=1e-12)
+
+
+def _check_pfe_invariants(spec, st, atol=1e-5):
+    """S = V conj(YV) at every bus; I = YV; branch flow equations."""
+    V = np.asarray(st.bus_v)
+    Y = np.asarray(spec.Y)
+    S = V * np.conj(Y @ V)
+    np.testing.assert_allclose(S.real, np.asarray(st.bus_p), atol=atol)
+    np.testing.assert_allclose(S.imag, np.asarray(st.bus_q), atol=atol)
+    np.testing.assert_allclose(Y @ V, np.asarray(st.bus_i), atol=atol)
+    # Slack voltage pinned at 1 + 0j.
+    np.testing.assert_allclose(V[0], 1.0 + 0j, atol=1e-12)
+    # Branch currents from the pi-model.
+    f, t = np.asarray(spec.br_f), np.asarray(spec.br_t)
+    series = np.asarray(spec.br_series)
+    shunt = np.asarray(spec.br_shunt)
+    tap = np.asarray(spec.br_tap)
+    i_from = (series + shunt) * V[f] / np.abs(tap) ** 2 - series * V[t] / np.conj(tap)
+    np.testing.assert_allclose(i_from, np.asarray(st.br_i_from), atol=1e-9)
+    # Power balance: sum of injections = losses in branches.
+    s_from = V[f] * np.conj(i_from)
+    i_to = (series + shunt) * V[t] - series * V[f] / tap
+    s_to = V[t] * np.conj(i_to)
+    np.testing.assert_allclose(np.sum(S.real), np.sum(s_from.real + s_to.real), atol=1e-4)
+
+
+@pytest.mark.parametrize("net_fn", [two_bus_net, three_bus_loop_net])
+def test_randomized_load_flows(net_fn):
+    spec, _ = build_grid(net_fn(), delta_t=1.0, lamb=10)
+    rng = np.random.default_rng(6)
+    n_gen, n_des, n_load = spec.n_gen, spec.n_des, spec.n_load
+    for _ in range(20):
+        res = transition(
+            spec,
+            des_soc=jnp.zeros(n_des),
+            P_load=jnp.asarray(-rng.uniform(0, 0.08, n_load)),
+            P_pot=jnp.asarray(rng.uniform(0, 0.3, n_gen)),
+            P_set_gen=jnp.asarray(rng.uniform(0, 0.3, n_gen)),
+            Q_set_gen=jnp.asarray(rng.uniform(-0.2, 0.2, n_gen)),
+            P_set_des=jnp.zeros(n_des),
+            Q_set_des=jnp.zeros(n_des),
+        )
+        assert bool(res.pfe_converged)
+        _check_pfe_invariants(spec, res.state)
+
+
+def test_nr_vmap_batched_matches_single():
+    """vmapped NR == per-lane NR (lockstep batch semantics)."""
+    spec, _ = build_grid(three_bus_loop_net(), 1.0, 10)
+    rng = np.random.default_rng(7)
+    B = 16
+    p = jnp.asarray(rng.uniform(-0.3, 0.3, (B, spec.n_bus - 1)))
+    q = jnp.asarray(rng.uniform(-0.2, 0.2, (B, spec.n_bus - 1)))
+    Ys = jnp.broadcast_to(spec.Y, (B,) + spec.Y.shape)
+    v_b, diff_b, it_b, conv_b = jax.vmap(lambda Y, p, q: solve_pfe(Y, p, q))(Ys, p, q)
+    for i in range(B):
+        v, diff, it, conv = solve_pfe(spec.Y, p[i], q[i])
+        np.testing.assert_allclose(np.asarray(v_b[i]), np.asarray(v), atol=1e-12)
+        assert bool(conv_b[i]) == bool(conv)
+
+
+def test_nr_divergence_flagged_not_raised():
+    """Infeasible injections -> converged=False, finite program (no raise)."""
+    spec, _ = build_grid(two_bus_net(), 1.0, 10)
+    # Absurdly large load -> voltage collapse.
+    v, diff, it, conv = solve_pfe(spec.Y, jnp.asarray([-500.0]), jnp.asarray([-500.0]))
+    assert not bool(conv)
+
+
+def test_transition_terminal_propagates():
+    """A collapsed power flow flags pfe_converged=False end-to-end."""
+    net = two_bus_net()
+    net["device"][1][5] = -50000  # allow a catastrophically large load
+    spec, _ = build_grid(net, 1.0, 10)
+    res = transition(
+        spec,
+        des_soc=jnp.zeros(0),
+        P_load=jnp.asarray([-500.0]),  # p.u. -> far beyond feasibility
+        P_pot=jnp.zeros(0),
+        P_set_gen=jnp.zeros(0),
+        Q_set_gen=jnp.zeros(0),
+        P_set_des=jnp.zeros(0),
+        Q_set_des=jnp.zeros(0),
+    )
+    assert not bool(res.pfe_converged)
