@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Throughput benchmark: env-steps/s on batched ANM6Easy-v0.
+
+Runs B lockstep vmapped environments for T scanned steps per program
+invocation with uniform-random actions, on the default JAX backend (the
+real TPU chip under the driver).  Prints ONE JSON line:
+
+    {"metric": "env-steps/s/chip", "value": N, "unit": "steps/s",
+     "vs_baseline": N / 1e6}
+
+Baseline target (BASELINE.md): >= 1M env-steps/s/chip at B=4096.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=64, help="scanned steps per program call")
+    ap.add_argument("--iters", type=int, default=10, help="timed program calls")
+    ap.add_argument("--profile", action="store_true")
+    args = ap.parse_args()
+
+    from gym_anm_tpu.envs.anm6.anm6_easy import make_core
+    from gym_anm_tpu.envs.batched import BatchedEnv
+
+    core = make_core()
+    env = BatchedEnv(core, batch_size=args.batch)
+
+    key = jax.random.PRNGKey(0)
+    k_reset, k_run = jax.random.split(key)
+    es, first = env.reset(k_reset)
+
+    run = jax.jit(env.rollout_fn(policy_fn=None, n_steps=args.steps))
+
+    # Warm-up / compile.
+    t0 = time.time()
+    es_w, (rew, term) = run(es, k_run)
+    jax.block_until_ready(rew)
+    compile_s = time.time() - t0
+
+    if args.profile:
+        jax.profiler.start_trace("/tmp/anm_bench_trace")
+
+    keys = jax.random.split(k_run, args.iters)
+    t0 = time.time()
+    for i in range(args.iters):
+        es, (rew, term) = run(es, keys[i])
+    jax.block_until_ready(rew)
+    elapsed = time.time() - t0
+
+    if args.profile:
+        jax.profiler.stop_trace()
+
+    total_steps = args.batch * args.steps * args.iters
+    sps = total_steps / elapsed
+    # NB: transfer whole [T, B] f32 arrays (0-d transfers are unimplemented
+    # on some PJRT backends) and reduce on host.
+    import numpy as np
+
+    rew_h = np.asarray(rew)
+    term_h = np.asarray(term)
+    result = {
+        "metric": "env-steps/s/chip",
+        "value": round(sps, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / 1e6, 4),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "batch": args.batch,
+                    "scan_steps": args.steps,
+                    "iters": args.iters,
+                    "elapsed_s": round(elapsed, 3),
+                    "compile_s": round(compile_s, 1),
+                    "backend": jax.default_backend(),
+                    "mean_reward": float(rew_h.mean()),
+                    "terminated_frac": float(term_h.mean()),
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

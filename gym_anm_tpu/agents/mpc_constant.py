@@ -1,5 +1,22 @@
+"""MPC policy with constant forecasts (reference mpc_constant.py:21-35)."""
+
+from __future__ import annotations
+
+import numpy as np
+
 from .mpc import MPCAgent
 
 
 class MPCAgentConstant(MPCAgent):
-    pass
+    """The pi_MPC-N^constant policy: future demand and generation are assumed
+    constant (at their current values) over the optimization horizon."""
+
+    def forecast(self, env):
+        full_state = env.simulator.state
+
+        P_load_forecast = [full_state["dev_p"]["pu"][i] for i in self.load_ids]
+        P_gen_forecast = [full_state["gen_p_max"]["pu"][i] for i in self.non_slack_gen_ids]
+
+        P_load_forecast = np.array([P_load_forecast for _ in range(self.planning_steps)]).T
+        P_gen_forecast = np.array([P_gen_forecast for _ in range(self.planning_steps)]).T
+        return P_load_forecast, P_gen_forecast

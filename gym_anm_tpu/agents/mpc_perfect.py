@@ -1,5 +1,30 @@
+"""MPC policy with perfect forecasts (reference mpc_perfect.py:21-40).
+
+Only works on environments exposing the fixed daily time series as
+``env.P_loads`` / ``env.P_maxs`` with the time-of-day index as the last
+state variable (e.g. ANM6Easy)."""
+
+from __future__ import annotations
+
+import numpy as np
+
 from .mpc import MPCAgent
 
 
 class MPCAgentPerfect(MPCAgent):
-    pass
+    """The pi_MPC-N^perfect policy: future demand and generation are read
+    from the environment's true time series."""
+
+    def forecast(self, env):
+        t_start = int(env.state[-1]) + 1
+        t_end = t_start + self.planning_steps
+        P_loads = env.P_loads
+        P_gen_pot = env.P_maxs
+
+        while t_end > P_loads.shape[1]:
+            P_loads = np.concatenate((P_loads, env.P_loads), axis=-1)
+            P_gen_pot = np.concatenate((P_gen_pot, env.P_maxs), axis=-1)
+
+        P_load_forecast = P_loads[:, t_start:t_end] / self.baseMVA
+        P_gen_forecast = P_gen_pot[:, t_start:t_end] / self.baseMVA
+        return P_load_forecast, P_gen_forecast

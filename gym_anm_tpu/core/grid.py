@@ -698,7 +698,7 @@ class GridSpec:
 
 
 def default_dtype():
-    return jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    return np.float64 if jax.config.read("jax_enable_x64") else np.float32
 
 
 def build_grid(network, delta_t, lamb, dtype=None) -> tuple[GridSpec, dict]:
@@ -708,8 +708,8 @@ def build_grid(network, delta_t, lamb, dtype=None) -> tuple[GridSpec, dict]:
     records (used by the Simulator facade for dict views); errors are raised
     eagerly on the host, never inside jit.
     """
-    dtype = dtype or default_dtype()
-    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    dtype = np.dtype(dtype or default_dtype())
+    cdtype = np.complex128 if dtype == np.float64 else np.complex64
 
     check_network_specs(network)
     baseMVA = float(network["baseMVA"])
@@ -748,8 +748,8 @@ def build_grid(network, delta_t, lamb, dtype=None) -> tuple[GridSpec, dict]:
         Y[f, f] += (br.series + br.shunt) / (np.abs(br.tap) ** 2)
         Y[t, t] += br.series + br.shunt
 
-    d_arr = lambda vals, dt=None: jnp.asarray(np.asarray(vals, dtype=np.float64), dtype=dt or dtype)
-    i_arr = lambda vals: jnp.asarray(np.asarray(vals, dtype=np.int32))
+    d_arr = lambda vals, dt=None: np.asarray(vals, dtype=np.float64).astype(dt or dtype)
+    i_arr = lambda vals: np.asarray(vals, dtype=np.int32)
 
     loads = [d for d in devices if d.type == -1]
     gens = [d for d in devices if d.type in (1, 2)]
@@ -785,7 +785,7 @@ def build_grid(network, delta_t, lamb, dtype=None) -> tuple[GridSpec, dict]:
         rer_ids=tuple(d.dev_id for d in rers),
         slack_dev_id=slack_dev.dev_id,
         slack_bus_id=slack_bus.id,
-        Y=jnp.asarray(Y, dtype=cdtype),
+        Y=Y.astype(cdtype),
         bus_baseKV=d_arr([b.baseKV for b in internal]),
         bus_v_min=d_arr([b.v_min for b in internal]),
         bus_v_max=d_arr([b.v_max for b in internal]),
@@ -806,7 +806,7 @@ def build_grid(network, delta_t, lamb, dtype=None) -> tuple[GridSpec, dict]:
         des_pos=i_arr([pos[d.dev_id] for d in des]),
         rer_pos=i_arr([pos[d.dev_id] for d in rers]),
         rer_gen_idx=i_arr([i for i, d in enumerate(gens) if d.type == 2]),
-        slack_pos=jnp.asarray(pos[slack_dev.dev_id], dtype=jnp.int32),
+        slack_pos=np.asarray(pos[slack_dev.dev_id], dtype=np.int32),
         eloss_mask=d_arr([1.0 if d.type in (-1, 0, 1, 2) else 0.0 for d in devices]),
         load_p_min=d_arr([d.p_min for d in loads]),
         load_p_max=d_arr([d.p_max for d in loads]),
@@ -822,9 +822,9 @@ def build_grid(network, delta_t, lamb, dtype=None) -> tuple[GridSpec, dict]:
         des_h0=d_arr(np.stack([h for _, h in des_polys]) if des else np.zeros((0, N_POLY))),
         br_f=i_arr([to_internal[br.f_bus] for br in branches]),
         br_t=i_arr([to_internal[br.t_bus] for br in branches]),
-        br_series=jnp.asarray(np.asarray([br.series for br in branches], dtype=np.complex128), dtype=cdtype),
-        br_shunt=jnp.asarray(np.asarray([br.shunt for br in branches], dtype=np.complex128), dtype=cdtype),
-        br_tap=jnp.asarray(np.asarray([br.tap for br in branches], dtype=np.complex128), dtype=cdtype),
+        br_series=np.asarray([br.series for br in branches], dtype=np.complex128).astype(cdtype),
+        br_shunt=np.asarray([br.shunt for br in branches], dtype=np.complex128).astype(cdtype),
+        br_tap=np.asarray([br.tap for br in branches], dtype=np.complex128).astype(cdtype),
         br_rate=d_arr([br.rate for br in branches]),
     )
     recs = {"buses": buses, "branches": branches, "devices": devices, "slack_bus": slack_bus}

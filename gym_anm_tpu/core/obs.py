@@ -260,11 +260,13 @@ def compile_gather(spec: GridSpec, values, K: int, aux_bounds=None, dtype=None) 
                 low.append(lo)
                 high.append(hi)
 
+    # Host numpy leaves: static data folded into jitted programs as
+    # constants (also usable directly by host-side space builders).
     return GatherSpec(
-        idx=jnp.asarray(np.asarray(idx, dtype=np.int32)),
-        scale=jnp.asarray(np.asarray(scale, dtype=np.float64), dtype=dtype),
-        low=jnp.asarray(np.asarray(low, dtype=np.float64), dtype=dtype),
-        high=jnp.asarray(np.asarray(high, dtype=np.float64), dtype=dtype),
+        idx=np.asarray(idx, dtype=np.int32),
+        scale=np.asarray(scale, dtype=np.float64).astype(dtype),
+        low=np.asarray(low, dtype=np.float64).astype(dtype),
+        high=np.asarray(high, dtype=np.float64).astype(dtype),
     )
 
 

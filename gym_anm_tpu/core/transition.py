@@ -68,16 +68,16 @@ def _map_set_points(spec: GridSpec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen
 
     # Generators: clip the potential, then cap P by it (devices.py:181-187, 280-304).
     p_pot = jnp.clip(P_pot, spec.gen_p_min, spec.gen_p_max)
-    gen_h = spec.gen_h0.at[:, POLY_ROW_P_CAP].set(p_pot) if spec.n_gen else spec.gen_h0
+    gen_h0 = jnp.asarray(spec.gen_h0)
+    gen_h = gen_h0.at[:, POLY_ROW_P_CAP].set(p_pot) if spec.n_gen else gen_h0
 
     # Storage: SoC-rate caps on (dis)charging (devices.py:501-514).
+    des_h = jnp.asarray(spec.des_h0)
     if spec.n_des:
         discharge_cap = spec.des_eff * (des_soc - spec.des_soc_min) / spec.delta_t
         charge_cap = -(des_soc - spec.des_soc_max) / (spec.delta_t * spec.des_eff)
-        des_h = spec.des_h0.at[:, POLY_ROW_P_CAP].set(discharge_cap)
+        des_h = des_h.at[:, POLY_ROW_P_CAP].set(discharge_cap)
         des_h = des_h.at[:, POLY_ROW_P_FLOOR].set(charge_cap)
-    else:
-        des_h = spec.des_h0
 
     # One batched exact projection for all controllable devices.
     points = jnp.concatenate(

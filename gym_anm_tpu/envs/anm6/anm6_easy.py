@@ -142,6 +142,33 @@ class ANM6Easy(ANM6):
         return anm6easy_next_vars(s_t, self._P_loads_j, self._P_maxs_j)
 
 
+def make_core(dtype=None):
+    """Build the pure-functional ANM6Easy :class:`EnvCore` (no Gymnasium
+    adapter, no host hooks) -- the batched/vmapped fast path used by
+    :class:`gym_anm_tpu.envs.batched.BatchedEnv` and the benchmarks."""
+    import jax.numpy as jnp
+
+    from ...core.env_core import EnvCore
+    from ...core.grid import build_grid
+    from ...core.obs import state_values_spec
+    from .network import network
+
+    spec, _ = build_grid(network, delta_t=0.25, lamb=100, dtype=dtype)
+    P_loads = jnp.asarray(_get_load_time_series(), dtype=spec.dtype)
+    P_maxs = jnp.asarray(_get_gen_time_series(), dtype=spec.dtype)
+    K = 1
+    return EnvCore(
+        spec,
+        K=K,
+        gamma=0.995,
+        costs_clipping=(1, 100),
+        obs_values=state_values_spec(spec, K),  # fully observable
+        aux_bounds=np.array([[0, 95]]),
+        init_state_fn=lambda key: anm6easy_init_state(key, P_loads, P_maxs),
+        next_vars_fn=lambda s, key: anm6easy_next_vars(s, P_loads, P_maxs),
+    )
+
+
 def anm6easy_init_state(key, P_loads, P_maxs):
     """Pure-functional ANM6Easy initial-state distribution.
 

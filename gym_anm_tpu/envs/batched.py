@@ -1,0 +1,141 @@
+"""Batched lockstep environments: the TPU fast path.
+
+The reference steps one environment at a time in Python.  Here an
+:class:`~gym_anm_tpu.core.env_core.EnvCore` is vmapped over an ``[B, ...]``
+batch of :class:`EnvState` pytrees and jitted once, giving thousands of
+lockstep environments per chip; ``rollout`` additionally ``lax.scan``s over
+time so an entire trajectory segment is a single XLA program.
+
+Multi-host/multi-chip scaling shards the batch axis over a
+``jax.sharding.Mesh`` (see :mod:`gym_anm_tpu.parallel.sharding`): stepping
+is embarrassingly parallel, so the only collectives are those XLA inserts
+for cross-batch reductions (e.g. mean rewards in a learner).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.env_core import EnvCore, EnvState, StepOut
+from ..core.state import zeros_state
+
+
+class BatchedStep(NamedTuple):
+    obs: jax.Array  # [B, obs_n]
+    reward: jax.Array  # [B]
+    terminated: jax.Array  # [B] bool
+    state_vec: jax.Array  # [B, state_n]
+
+
+class BatchedEnv:
+    """Vectorized lockstep environments over a leading batch axis.
+
+    Parameters
+    ----------
+    core : EnvCore
+        The functional environment (must have ``init_state_fn`` and
+        ``next_vars_fn`` pure-JAX hooks).
+    batch_size : int
+        Number of lockstep environments B.
+    auto_reset : bool
+        If True, terminated lanes are re-initialized in the same step with a
+        single-attempt reset (useful for RL training).  If False (default),
+        terminated lanes stay in the absorbing zero state -- the reference's
+        semantics (anm_env.py:365-367).
+    """
+
+    def __init__(self, core: EnvCore, batch_size: int, auto_reset: bool = False):
+        self.core = core
+        self.batch_size = int(batch_size)
+        self.auto_reset = bool(auto_reset)
+        self._reset = jax.jit(jax.vmap(core.reset))
+        self._step = jax.jit(jax.vmap(self._step_one))
+
+    # ------------------------------------------------------------------
+    def _step_one(self, es: EnvState, action, key):
+        if not self.auto_reset:
+            return self.core.step_with_key(es, action, key)
+        k_vars, k_reset = jax.random.split(key)
+        es_new, out = self.core.step_with_key(es, action, k_vars)
+        # Single-attempt reset of terminated lanes (done in the same step so
+        # the batch stays lockstep; rejection-sampling retries are not
+        # affordable per-lane -- tasks whose init states can diverge should
+        # use reset() instead).
+        es_fresh = self.core.env_state_from_s0(self.core.init_state_fn(k_reset))
+        reset_now = out.terminated
+        sel = lambda a, b: jax.tree.map(lambda x, y: jnp.where(reset_now, x, y), a, b)
+        es_final = sel(es_fresh, es_new)
+        obs = jnp.where(reset_now, self.core.observation(es_fresh), out.obs)
+        state_vec = jnp.where(reset_now, self.core.state_vec(es_fresh), out.state_vec)
+        return es_final, StepOut(
+            obs=obs,
+            reward=out.reward,
+            terminated=out.terminated,
+            state_vec=state_vec,
+            e_loss=out.e_loss,
+            penalty=out.penalty,
+        )
+
+    # ------------------------------------------------------------------
+    def reset(self, key) -> tuple[EnvState, BatchedStep]:
+        keys = jax.random.split(key, self.batch_size)
+        es, out = self._reset(keys)
+        return es, BatchedStep(
+            obs=out.obs,
+            reward=jnp.zeros((self.batch_size,), dtype=self.core.spec.dtype),
+            terminated=jnp.zeros((self.batch_size,), dtype=bool),
+            state_vec=out.state_vec,
+        )
+
+    def step(self, es: EnvState, actions, key) -> tuple[EnvState, BatchedStep]:
+        keys = jax.random.split(key, self.batch_size)
+        es, out = self._step(es, actions, keys)
+        return es, BatchedStep(
+            obs=out.obs, reward=out.reward, terminated=out.terminated, state_vec=out.state_vec
+        )
+
+    # ------------------------------------------------------------------
+    def rollout_fn(self, policy_fn: Optional[Callable] = None, n_steps: int = 1):
+        """Build a jittable rollout ``run(es, key, policy_args=None)``.
+
+        ``policy_fn(policy_args, obs, key) -> [B, action_n]`` selects
+        actions from batched observations; if None, actions are sampled
+        uniformly from the action space (and per-step observations are not
+        materialized -- the throughput-bench path).
+
+        Returns ``(es, traj)`` where ``traj`` is ``(reward, terminated)``
+        stacked over time for the uniform policy, and
+        ``(obs, actions, reward, terminated)`` when a policy is given.
+        """
+        core = self.core
+        lo = jnp.asarray(core.action_low, dtype=core.spec.dtype)
+        hi = jnp.asarray(core.action_high, dtype=core.spec.dtype)
+        B = self.batch_size
+        need_obs = policy_fn is not None
+
+        def uniform_policy(_, obs, key):
+            u = jax.random.uniform(key, (B, core.action_n), core.spec.dtype)
+            return u * (hi - lo) + lo
+
+        pol = policy_fn or uniform_policy
+
+        def body(carry, key):
+            es, policy_args = carry
+            k_act, k_step = jax.random.split(key)
+            obs = jax.vmap(core.observation)(es) if need_obs else None
+            actions = pol(policy_args, obs, k_act)
+            keys = jax.random.split(k_step, B)
+            es, out = jax.vmap(self._step_one)(es, actions, keys)
+            ys = (obs, actions, out.reward, out.terminated) if need_obs else (out.reward, out.terminated)
+            return (es, policy_args), ys
+
+        def run(es, key, policy_args=None):
+            keys = jax.random.split(key, n_steps)
+            (es, _), traj = jax.lax.scan(body, (es, policy_args), keys)
+            return es, traj
+
+        return run

@@ -1,0 +1,3 @@
+from .ppo import PPOConfig, PPOTrainer, ActorCritic
+
+__all__ = ["PPOConfig", "PPOTrainer", "ActorCritic"]

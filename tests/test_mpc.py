@@ -1,0 +1,106 @@
+"""MPC DC-OPF agent integration tests (ports tests/test_dcopf_agent.py).
+
+Runs the MPC policies on real ANM6Easy episodes and verifies, at every
+step, that the ADMM+polish solution satisfies every constraint of the
+N-stage DC-OPF -- DC flow balance, load pinning, generation bounds and
+potential caps, SoC dynamics and bounds, angle bounds, slack angle -- and
+that its objective matches an independent scipy HiGHS solve (optimality).
+"""
+
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+import gym_anm_tpu
+from gym_anm_tpu.agents import MPCAgentConstant, MPCAgentPerfect
+
+TOL = 1e-6
+
+
+def _oracle_objective(agent):
+    sol = agent.last_solution
+    lv, uv = sol["lv"], sol["uv"]
+    eq = (lv == uv) & np.isfinite(lv)
+    ub = np.isfinite(uv) & ~eq
+    lb = np.isfinite(lv) & ~eq
+    res = linprog(
+        agent.q,
+        A_ub=np.vstack([agent.A[ub], -agent.A[lb]]),
+        b_ub=np.concatenate([uv[ub], -lv[lb]]),
+        A_eq=agent.A[eq],
+        b_eq=lv[eq],
+        bounds=[(None, None)] * agent.nz,
+        method="highs",
+    )
+    return res.fun
+
+
+def _check_solution(agent, check_optimal=False):
+    sol = agent.last_solution
+    x, lv, uv = sol["x"], sol["lv"], sol["uv"]
+    Ax = agent.A @ x
+    # Feasibility of every constraint row (flow balance, load pinning,
+    # bounds, caps, SoC recursion, angles, slack angle, branch slacks).
+    assert np.max(np.maximum(0.0, lv - Ax)) < TOL
+    assert np.max(np.maximum(0.0, Ax - uv)) < TOL
+    if check_optimal:
+        f_star = _oracle_objective(agent)
+        # A TOL-feasible point can undercut f* by ~TOL * ||dual||, and the
+        # penalty coefficients are O(lamb)=100.
+        assert abs(agent.q @ x - f_star) < 1e-3
+
+
+@pytest.mark.parametrize("planning_steps", [1, 3, 10])
+def test_mpc_constant_constraints(planning_steps):
+    env = gym_anm_tpu.envs.ANM6Easy()
+    env.reset(seed=11)
+    agent = MPCAgentConstant(
+        env.simulator, env.action_space, env.gamma, safety_margin=0.96, planning_steps=planning_steps
+    )
+    for t in range(25):
+        a = agent.act(env)
+        assert env.action_space.contains(a.astype(np.float64))
+        _check_solution(agent, check_optimal=(t % 10 == 0))
+        obs, r, terminated, _, _ = env.step(a)
+        assert not terminated
+        # A sane controller keeps the cost small on this task.
+        assert r > -10
+
+
+def test_mpc_perfect_runs_and_beats_random():
+    env = gym_anm_tpu.envs.ANM6Easy()
+    env.reset(seed=3)
+    agent = MPCAgentPerfect(
+        env.simulator, env.action_space, env.gamma, safety_margin=0.96, planning_steps=5
+    )
+    mpc_rewards = []
+    for _ in range(25):
+        a = agent.act(env)
+        _, r, term, _, _ = env.step(a)
+        assert not term
+        mpc_rewards.append(r)
+
+    env2 = gym_anm_tpu.envs.ANM6Easy()
+    env2.reset(seed=3)
+    env2.action_space.seed(0)
+    rand_rewards = []
+    for _ in range(25):
+        _, r, term, _, _ = env2.step(env2.action_space.sample())
+        rand_rewards.append(r)
+        if term:
+            break
+    assert np.mean(mpc_rewards) > np.mean(rand_rewards)
+
+
+def test_mpc_soc_dynamics_consistency():
+    """SoC trajectory in the plan follows the split-variable dynamics."""
+    env = gym_anm_tpu.envs.ANM6Easy()
+    env.reset(seed=21)
+    agent = MPCAgentConstant(env.simulator, env.action_space, env.gamma, planning_steps=4)
+    agent.act(env)
+    sol = agent.last_solution
+    soc_min = np.asarray(env.simulator.spec.des_soc_min)
+    soc_max = np.asarray(env.simulator.spec.des_soc_max)
+    for s in range(agent.planning_steps):
+        soc = sol["soc"][s]
+        assert np.all(soc >= soc_min - TOL) and np.all(soc <= soc_max + TOL)
