@@ -86,7 +86,7 @@ class MPCAgent:
 
         # B matrix in bus-ID order (mpc.py:110-111).
         srt = np.asarray(spec.bus_sorted)
-        self.B_bus = np.asarray(spec.Y).imag[np.ix_(srt, srt)]
+        self.B_bus = np.asarray(spec.Y_im)[np.ix_(srt, srt)]
 
         self._build_lp()
         self._build_solver()

@@ -93,6 +93,7 @@ class EnvCore:
         obs_fn: Optional[Callable] = None,
         x_tol: float = 1e-5,
         max_iter: int = 100,
+        pf_method: str = "scan",
     ):
         self.spec = spec
         self.K = int(K)
@@ -106,6 +107,7 @@ class EnvCore:
         self.obs_fn = obs_fn
         self.x_tol = x_tol
         self.max_iter = max_iter
+        self.pf_method = pf_method
 
         self.state_values = state_values_spec(spec, self.K)
         self.state_gather: GatherSpec = compile_gather(spec, self.state_values, self.K, aux_bounds)
@@ -193,6 +195,7 @@ class EnvCore:
             Q_set_des=action[2 * n_gen + n_des :] / base,
             x_tol=self.x_tol,
             max_iter=self.max_iter,
+            pf_method=self.pf_method,
         )
 
         c1, c2 = self.costs_clipping
@@ -238,7 +241,7 @@ class EnvCore:
             raise EnvInitializationError(
                 "Expected size of initial state s0 is %d but actual is %d" % (self.expected_s0_n, s0.shape[-1])
             )
-        sim = sim_reset(spec, s0, x_tol=self.x_tol, max_iter=self.max_iter)
+        sim = sim_reset(spec, s0, x_tol=self.x_tol, max_iter=self.max_iter, pf_method=self.pf_method)
         aux = s0[2 * spec.n_dev + spec.n_des + spec.n_gen :]
         return EnvState(sim=sim, aux=aux, terminated=jnp.asarray(False))
 

@@ -628,7 +628,11 @@ class GridSpec:
     slack_bus_id: int = dataclasses.field(metadata=dict(static=True))
 
     # --- bus arrays (internal order; slack first) ---
-    Y: jax.Array  # [n, n] complex nodal admittance matrix
+    # Complex quantities are stored as (re, im) real pairs: TPU runtimes
+    # have patchy complex support, and the real form maps Y*V onto plain
+    # f32 matmuls.
+    Y_re: jax.Array  # [n, n] Re of the nodal admittance matrix
+    Y_im: jax.Array  # [n, n] Im of the nodal admittance matrix
     bus_baseKV: jax.Array  # [n]
     bus_v_min: jax.Array  # [n]
     bus_v_max: jax.Array  # [n]
@@ -677,18 +681,17 @@ class GridSpec:
     # --- branch arrays (input order) ---
     br_f: jax.Array  # [b] int internal bus index
     br_t: jax.Array  # [b] int
-    br_series: jax.Array  # [b] complex
-    br_shunt: jax.Array  # [b] complex
-    br_tap: jax.Array  # [b] complex
+    # pi-model current coefficients (branch.py:153-173):
+    #   i_from = a_ff v_f + a_ft v_t,  i_to = a_tf v_f + a_tt v_t
+    br_aff: jax.Array  # [b, 2] (re, im) of (ys + ysh)/|tap|^2
+    br_aft: jax.Array  # [b, 2] (re, im) of -ys/conj(tap)
+    br_atf: jax.Array  # [b, 2] (re, im) of -ys/tap
+    br_att: jax.Array  # [b, 2] (re, im) of ys + ysh
     br_rate: jax.Array  # [b]
 
     @property
     def dtype(self):
         return self.bus_v_min.dtype
-
-    @property
-    def cdtype(self):
-        return self.Y.dtype
 
     @property
     def state_n(self) -> int:
@@ -709,7 +712,6 @@ def build_grid(network, delta_t, lamb, dtype=None) -> tuple[GridSpec, dict]:
     eagerly on the host, never inside jit.
     """
     dtype = np.dtype(dtype or default_dtype())
-    cdtype = np.complex128 if dtype == np.float64 else np.complex64
 
     check_network_specs(network)
     baseMVA = float(network["baseMVA"])
@@ -750,6 +752,9 @@ def build_grid(network, delta_t, lamb, dtype=None) -> tuple[GridSpec, dict]:
 
     d_arr = lambda vals, dt=None: np.asarray(vals, dtype=np.float64).astype(dt or dtype)
     i_arr = lambda vals: np.asarray(vals, dtype=np.int32)
+    c_arr = lambda vals: np.stack(
+        [np.asarray(vals, dtype=np.complex128).real, np.asarray(vals, dtype=np.complex128).imag], axis=-1
+    ).astype(dtype)
 
     loads = [d for d in devices if d.type == -1]
     gens = [d for d in devices if d.type in (1, 2)]
@@ -785,7 +790,8 @@ def build_grid(network, delta_t, lamb, dtype=None) -> tuple[GridSpec, dict]:
         rer_ids=tuple(d.dev_id for d in rers),
         slack_dev_id=slack_dev.dev_id,
         slack_bus_id=slack_bus.id,
-        Y=Y.astype(cdtype),
+        Y_re=Y.real.astype(dtype),
+        Y_im=Y.imag.astype(dtype),
         bus_baseKV=d_arr([b.baseKV for b in internal]),
         bus_v_min=d_arr([b.v_min for b in internal]),
         bus_v_max=d_arr([b.v_max for b in internal]),
@@ -822,9 +828,10 @@ def build_grid(network, delta_t, lamb, dtype=None) -> tuple[GridSpec, dict]:
         des_h0=d_arr(np.stack([h for _, h in des_polys]) if des else np.zeros((0, N_POLY))),
         br_f=i_arr([to_internal[br.f_bus] for br in branches]),
         br_t=i_arr([to_internal[br.t_bus] for br in branches]),
-        br_series=np.asarray([br.series for br in branches], dtype=np.complex128).astype(cdtype),
-        br_shunt=np.asarray([br.shunt for br in branches], dtype=np.complex128).astype(cdtype),
-        br_tap=np.asarray([br.tap for br in branches], dtype=np.complex128).astype(cdtype),
+        br_aff=c_arr([(br.series + br.shunt) / np.abs(br.tap) ** 2 for br in branches]),
+        br_aft=c_arr([-br.series / np.conj(br.tap) for br in branches]),
+        br_atf=c_arr([-br.series / br.tap for br in branches]),
+        br_att=c_arr([br.series + br.shunt for br in branches]),
         br_rate=d_arr([br.rate for br in branches]),
     )
     recs = {"buses": buses, "branches": branches, "devices": devices, "slack_bus": slack_bus}

@@ -92,15 +92,15 @@ def pack_observables(spec: GridSpec, sim: SimState, aux) -> jax.Array:
     NumPy>=2 complex-sign semantics (sign(z) = z/|z|) equals the real part.
     """
     srt = spec.bus_sorted
-    v = sim.bus_v[srt]
-    i = sim.bus_i[srt]
+    vr, vi = sim.bus_v_re[srt], sim.bus_v_im[srt]
+    ir, ii = sim.bus_i_re[srt], sim.bus_i_im[srt]
     segs = [
         sim.bus_p[srt],
         sim.bus_q[srt],
-        jnp.abs(v),
-        jnp.angle(v),
-        jnp.abs(i),
-        jnp.angle(i),
+        jnp.sqrt(vr * vr + vi * vi),
+        jnp.arctan2(vi, vr),
+        jnp.sqrt(ir * ir + ii * ii),
+        jnp.arctan2(ii, ir),
         sim.dev_p,
         sim.dev_q,
         sim.des_soc,
@@ -108,8 +108,8 @@ def pack_observables(spec: GridSpec, sim: SimState, aux) -> jax.Array:
         sim.br_p_from,
         sim.br_q_from,
         sim.br_s,
-        sim.br_i_from.real,
-        jnp.angle(sim.br_i_from),
+        sim.br_if_re,
+        jnp.arctan2(sim.br_if_im, sim.br_if_re),
         jnp.asarray(aux, dtype=spec.dtype).reshape(-1),
     ]
     return jnp.concatenate([s.astype(spec.dtype) for s in segs])

@@ -10,7 +10,7 @@ TPU-native equivalent of ``Simulator.transition`` (simulator.py:464-537) and
 2. update storage SoC (devices.py:524-545),
 3. aggregate bus injections (simulator.py:539-549) via a static incidence
    matmul,
-4. solve the AC power flow with batched Newton-Raphson
+4. solve the AC power flow with batched all-real Newton-Raphson
    (solve_load_flow.py:7-81),
 5. recover slack/bus/branch electrical quantities,
 6. compute the energy-loss + constraint-penalty reward
@@ -18,7 +18,8 @@ TPU-native equivalent of ``Simulator.transition`` (simulator.py:464-537) and
 
 Everything is a pure function of ``(GridSpec, inputs)`` -> ``SimState``;
 ``jax.vmap`` over the inputs yields thousands of lockstep environments.
-All power quantities here are in per-unit (the env layer converts MW/MVAr).
+All power quantities here are in per-unit (the env layer converts MW/MVAr);
+complex quantities are (re, im) real pairs.
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..ops.power_flow import solve_pfe
+from ..ops.power_flow import cmul, solve_pfe
 from ..ops.projection import project_polytope
 from .grid import GridSpec, POLY_ROW_P_CAP, POLY_ROW_P_FLOOR
 from .state import SimState
@@ -42,20 +43,29 @@ class TransitionResult(NamedTuple):
     pfe_converged: jnp.ndarray
 
 
-def compute_branch_flows(spec: GridSpec, v):
+def compute_branch_flows(spec: GridSpec, v_re, v_im):
     """Directional branch currents and power flows (branch.py:153-198)."""
-    v_f = v[spec.br_f]
-    v_t = v[spec.br_t]
-    tap_sq = jnp.abs(spec.br_tap) ** 2
-    ys = spec.br_series + spec.br_shunt
-    i_from = ys * v_f / tap_sq.astype(v.dtype) - spec.br_series * v_t / jnp.conj(spec.br_tap)
-    i_to = ys * v_t - spec.br_series * v_f / spec.br_tap
-    s_from = v_f * jnp.conj(i_from)
-    s_to = v_t * jnp.conj(i_to)
-    p_from, q_from = s_from.real, s_from.imag
-    p_to, q_to = s_to.real, s_to.imag
-    s_max = jnp.sign(p_from) * jnp.maximum(jnp.abs(s_from), jnp.abs(s_to))
-    return i_from, i_to, p_from, q_from, p_to, q_to, s_max
+    vf_re, vf_im = v_re[spec.br_f], v_im[spec.br_f]
+    vt_re, vt_im = v_re[spec.br_t], v_im[spec.br_t]
+
+    if1_re, if1_im = cmul(spec.br_aff[:, 0], spec.br_aff[:, 1], vf_re, vf_im)
+    if2_re, if2_im = cmul(spec.br_aft[:, 0], spec.br_aft[:, 1], vt_re, vt_im)
+    if_re, if_im = if1_re + if2_re, if1_im + if2_im
+
+    it1_re, it1_im = cmul(spec.br_att[:, 0], spec.br_att[:, 1], vt_re, vt_im)
+    it2_re, it2_im = cmul(spec.br_atf[:, 0], spec.br_atf[:, 1], vf_re, vf_im)
+    it_re, it_im = it1_re + it2_re, it1_im + it2_im
+
+    # S = V conj(I) at each end.
+    p_from = vf_re * if_re + vf_im * if_im
+    q_from = vf_im * if_re - vf_re * if_im
+    p_to = vt_re * it_re + vt_im * it_im
+    q_to = vt_im * it_re - vt_re * it_im
+
+    s_from = jnp.sqrt(p_from * p_from + q_from * q_from)
+    s_to = jnp.sqrt(p_to * p_to + q_to * q_to)
+    s_max = jnp.sign(p_from) * jnp.maximum(s_from, s_to)
+    return if_re, if_im, it_re, it_im, p_from, q_from, p_to, q_to, s_max
 
 
 def _map_set_points(spec: GridSpec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen, P_set_des, Q_set_des):
@@ -83,7 +93,7 @@ def _map_set_points(spec: GridSpec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen
     points = jnp.concatenate(
         [jnp.stack([P_set_gen, Q_set_gen], axis=-1), jnp.stack([P_set_des, Q_set_des], axis=-1)], axis=0
     )
-    G = jnp.concatenate([spec.gen_G, spec.des_G], axis=0)
+    G = jnp.concatenate([jnp.asarray(spec.gen_G), jnp.asarray(spec.des_G)], axis=0)
     h = jnp.concatenate([gen_h, des_h], axis=0)
     proj = project_polytope(points.astype(dt), G, h)
     gen_p, gen_q = proj[: spec.n_gen, 0], proj[: spec.n_gen, 1]
@@ -106,7 +116,7 @@ def _map_set_points(spec: GridSpec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen
     return dev_p, dev_q, new_soc, p_pot
 
 
-def _reward(spec: GridSpec, dev_p, gen_p_pot, v, br_s):
+def _reward(spec: GridSpec, dev_p, gen_p_pot, v_re, v_im, br_s):
     """Energy loss + constraint penalty (simulator.py:638-683)."""
     e_loss = jnp.sum(spec.eloss_mask * dev_p)
     if spec.n_rer:
@@ -114,7 +124,7 @@ def _reward(spec: GridSpec, dev_p, gen_p_pot, v, br_s):
         e_loss = e_loss + jnp.sum(curtail)
     e_loss = e_loss * spec.delta_t
 
-    v_magn = jnp.abs(v)
+    v_magn = jnp.sqrt(v_re * v_re + v_im * v_im)
     v_pen = jnp.sum(jnp.maximum(0.0, v_magn - spec.bus_v_max) + jnp.maximum(0.0, spec.bus_v_min - v_magn))
     br_pen = jnp.sum(jnp.maximum(0.0, jnp.abs(br_s) - spec.br_rate))
     penalty = (v_pen + br_pen) * spec.delta_t * spec.lamb
@@ -133,6 +143,7 @@ def transition(
     Q_set_des,
     x_tol=1e-5,
     max_iter=100,
+    pf_method="scan",
 ) -> TransitionResult:
     """One physics transition (simulator.py:464-537). All inputs in p.u.
 
@@ -158,32 +169,39 @@ def transition(
     bus_q = spec.inc_bus_dev @ dev_q
 
     # Newton-Raphson load flow; slack bus is internal index 0.
-    v, _, _, converged = solve_pfe(spec.Y, bus_p[1:], bus_q[1:], x_tol=x_tol, max_iter=max_iter)
+    v_re, v_im, _, _, converged = solve_pfe(
+        spec.Y_re, spec.Y_im, bus_p[1:], bus_q[1:], x_tol=x_tol, max_iter=max_iter, method=pf_method
+    )
 
     # Nodal currents I = Y V and slack power (solve_load_flow.py:54-72;
-    # NaN slack power becomes +inf).
-    i = spec.Y @ v
-    s_slack = v[0] * jnp.conj(i[0])
-    p0 = jnp.where(jnp.isnan(s_slack.real), jnp.inf, s_slack.real)
-    q0 = jnp.where(jnp.isnan(s_slack.imag), jnp.inf, s_slack.imag)
+    # NaN slack power becomes +inf).  V_slack = 1 + 0j, so
+    # S_slack = conj(I_0).
+    i_re = spec.Y_re @ v_re - spec.Y_im @ v_im
+    i_im = spec.Y_re @ v_im + spec.Y_im @ v_re
+    p0 = jnp.where(jnp.isnan(i_re[0]), jnp.inf, i_re[0])
+    q0 = jnp.where(jnp.isnan(i_im[0]), jnp.inf, -i_im[0])
     bus_p = bus_p.at[0].set(p0)
     bus_q = bus_q.at[0].set(q0)
     dev_p = dev_p.at[spec.slack_pos].set(p0)
     dev_q = dev_q.at[spec.slack_pos].set(q0)
 
-    i_from, i_to, p_from, q_from, p_to, q_to, s_max = compute_branch_flows(spec, v)
+    if_re, if_im, it_re, it_im, p_from, q_from, p_to, q_to, s_max = compute_branch_flows(spec, v_re, v_im)
 
     state = SimState(
         dev_p=dev_p,
         dev_q=dev_q,
         des_soc=new_soc,
         gen_p_pot=p_pot,
-        bus_v=v,
-        bus_i=i,
+        bus_v_re=v_re,
+        bus_v_im=v_im,
+        bus_i_re=i_re,
+        bus_i_im=i_im,
         bus_p=bus_p,
         bus_q=bus_q,
-        br_i_from=i_from,
-        br_i_to=i_to,
+        br_if_re=if_re,
+        br_if_im=if_im,
+        br_it_re=it_re,
+        br_it_im=it_im,
         br_p_from=p_from,
         br_q_from=q_from,
         br_p_to=p_to,
@@ -191,11 +209,11 @@ def transition(
         br_s=s_max,
         pfe_converged=converged,
     )
-    reward, e_loss, penalty = _reward(spec, dev_p, p_pot, v, s_max)
+    reward, e_loss, penalty = _reward(spec, dev_p, p_pot, v_re, v_im, s_max)
     return TransitionResult(state, reward, e_loss, penalty, converged)
 
 
-def sim_reset(spec: GridSpec, s0, x_tol=1e-5, max_iter=100) -> SimState:
+def sim_reset(spec: GridSpec, s0, x_tol=1e-5, max_iter=100, pf_method="scan") -> SimState:
     """Apply an initial state vector (reference layout, MW/MVAr/MWh units)
     to the grid (simulator.py:225-293).
 
@@ -225,6 +243,7 @@ def sim_reset(spec: GridSpec, s0, x_tol=1e-5, max_iter=100) -> SimState:
         Q_set_des=Q_dev[spec.des_pos],
         x_tol=x_tol,
         max_iter=max_iter,
+        pf_method=pf_method,
     )
     # Override the SoC with the requested initial value (simulator.py:284-288;
     # note the reference does not clip it here).

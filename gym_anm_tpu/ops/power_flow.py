@@ -1,26 +1,30 @@
-"""Batched Newton-Raphson AC power-flow solve in polar form.
+"""Batched Newton-Raphson AC power-flow solve, all-real arithmetic.
 
 TPU-native reimplementation of the reference solver
 (``gym_anm/simulator/solve_load_flow.py:7-226``): the same mismatch
 ``f(x) = (V (Y V)^*)[1:] - s`` (solve_load_flow.py:116), the same polar
 Jacobian blocks dS/d(theta) and dS/d|V| (solve_load_flow.py:123-164), the
 same flat start (theta=0, |V|=1; solve_load_flow.py:42), the same stopping
-rule (inf-norm of the mismatch <= x_tol, or ``lim_iter`` iterations, with
-NaN => diverged; solve_load_flow.py:176-226).
+rule (inf-norm of mismatch <= x_tol, or the iteration cap, NaN => diverged;
+solve_load_flow.py:176-226).
 
-Differences that make it a good TPU program instead of a translation:
+TPU-first design decisions (vs. a translation):
 
-* the grid is small & dense, so the sparse scipy LU (``spsolve``) becomes a
-  dense ``jnp.linalg.solve`` on a [2(n-1), 2(n-1)] Jacobian -- batched over
-  thousands of lockstep environments via ``vmap``;
-* the iteration is a ``lax.while_loop``; under ``vmap`` XLA masks converged
-  lanes, so a batch runs for max-iterations-needed, not 100;
-* divergence raises nothing: NaN mismatch makes the loop condition False
-  (IEEE NaN comparisons) and the caller receives ``converged=False`` per
-  lane, mirroring the reference's NaN detection (solve_load_flow.py:224).
+* **All complex arithmetic is expanded to real (re, im) pairs** -- complex
+  dtypes are poorly supported on TPU runtimes and the real form maps the
+  Y*V products onto plain f32 matmuls.
+* **Fixed-iteration ``lax.scan`` with per-lane convergence masking** is the
+  default loop: converged/diverged lanes freeze (their updates are masked
+  out), so a vmapped batch is one straight-line XLA program with no
+  data-dependent control flow.  ``method="while"`` gives the classic
+  ``lax.while_loop`` early-exit variant for hosts that support it; both
+  produce identical results.
+* The scipy sparse LU becomes a statically-unrolled batched Gaussian
+  elimination (:func:`gym_anm_tpu.ops.linalg.solve_ge`) -- dense is optimal
+  at distribution-network sizes.
 
 The slack bus must be index 0 with voltage pinned at 1+0j
-(solve_load_flow.py:167-173; note the reference pins 1+0j regardless of
+(solve_load_flow.py:167-173; the reference pins 1+0j regardless of
 ``v_slack``).
 """
 
@@ -32,92 +36,150 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .linalg import solve_ge
 
-def _construct_v(theta, vm, cdtype):
-    """V = [1+0j, vm * exp(j theta)] (solve_load_flow.py:167-173)."""
-    one = jnp.ones((1,), dtype=cdtype)
-    v_nonslack = (vm * jnp.exp(1j * theta.astype(cdtype))).astype(cdtype)
-    return jnp.concatenate([one, v_nonslack])
+_HI = lax.Precision.HIGHEST
 
 
-def _mismatch(v, Y, s):
-    """F = concat(Re, Im) of (V (Y V)^*)[1:] - s  (solve_load_flow.py:84-120)."""
-    mis = (v * jnp.conj(Y @ v))[1:] - s
-    return jnp.concatenate([mis.real, mis.imag])
+def cmul(ar, ai, br, bi):
+    """(ar + j ai) * (br + j bi) -> (re, im)."""
+    return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _jacobian(v, Y):
-    """Polar-form power-flow Jacobian (solve_load_flow.py:123-164).
+def _construct_v(theta, vm):
+    """V = [1+0j, vm * exp(j theta)] as (re, im) (solve_load_flow.py:167-173)."""
+    one = jnp.ones((1,), dtype=vm.dtype)
+    zero = jnp.zeros((1,), dtype=vm.dtype)
+    v_re = jnp.concatenate([one, vm * jnp.cos(theta)])
+    v_im = jnp.concatenate([zero, vm * jnp.sin(theta)])
+    return v_re, v_im
 
-    dS_dVa[i,k] = 1j * v_i * conj(delta_ik * (Yv)_i - Y_ik v_k)
-    dS_dVm[i,k] = delta_ik * (v/|v|)_i * conj((Yv)_i) + v_i * conj(Y_ik (v/|v|)_k)
+
+def _yv(Y_re, Y_im, v_re, v_im):
+    """I = Y V in real pairs (two real matvecs each)."""
+    i_re = jnp.dot(Y_re, v_re, precision=_HI) - jnp.dot(Y_im, v_im, precision=_HI)
+    i_im = jnp.dot(Y_re, v_im, precision=_HI) + jnp.dot(Y_im, v_re, precision=_HI)
+    return i_re, i_im
+
+
+def _mismatch(v_re, v_im, Y_re, Y_im, p, q):
+    """F = concat(Re, Im) of (V (Y V)^*)[1:] - (p + jq)."""
+    i_re, i_im = _yv(Y_re, Y_im, v_re, v_im)
+    # S = V conj(I).
+    s_re = v_re * i_re + v_im * i_im
+    s_im = v_im * i_re - v_re * i_im
+    return jnp.concatenate([s_re[1:] - p, s_im[1:] - q])
+
+
+def _jacobian(v_re, v_im, Y_re, Y_im):
+    """Real/imag blocks of dS/d(theta), dS/d|V| (solve_load_flow.py:123-164).
+
+    dS_dVa[i,k] = 1j * v_i * conj(delta_ik (Yv)_i - Y_ik v_k)
+    dS_dVm[i,k] = delta_ik (v/|v|)_i conj((Yv)_i) + v_i conj(Y_ik (v/|v|)_k)
     """
-    iv = Y @ v
-    vnorm = v / jnp.abs(v)
-    dS_dVa = 1j * v[:, None] * jnp.conj(jnp.diag(iv) - Y * v[None, :])
-    dS_dVm = jnp.diag(vnorm * jnp.conj(iv)) + v[:, None] * jnp.conj(Y * vnorm[None, :])
-    J00 = dS_dVa[1:, 1:].real
-    J01 = dS_dVm[1:, 1:].real
-    J10 = dS_dVa[1:, 1:].imag
-    J11 = dS_dVm[1:, 1:].imag
-    return jnp.block([[J00, J01], [J10, J11]])
+    n = v_re.shape[0]
+    i_re, i_im = _yv(Y_re, Y_im, v_re, v_im)
+    vmag = jnp.sqrt(v_re * v_re + v_im * v_im)
+    vn_re, vn_im = v_re / vmag, v_im / vmag
+    eye = jnp.eye(n, dtype=v_re.dtype)
+
+    # w = diag(Yv) - Y * v[None, :]
+    yv_re, yv_im = cmul(Y_re, Y_im, v_re[None, :], v_im[None, :])
+    w_re = eye * i_re[:, None] - yv_re
+    w_im = eye * i_im[:, None] - yv_im
+    # 1j * v * conj(w): re = v_im*w_im... expand: (a+jb)(c-jd)*1j -> re = a d - b c? No:
+    # (a+jb)(c-jd) = (ac+bd) + j(bc-ad); * 1j => -(bc-ad) + j(ac+bd).
+    a, b = v_re[:, None], v_im[:, None]
+    dSa_re = a * w_im - b * w_re
+    dSa_im = a * w_re + b * w_im
+
+    # term1 (diagonal): vn * conj(I)
+    t1_re = vn_re * i_re + vn_im * i_im
+    t1_im = vn_im * i_re - vn_re * i_im
+    # term2: v_i * conj(Y_ik vn_k)
+    u_re, u_im = cmul(Y_re, Y_im, vn_re[None, :], vn_im[None, :])
+    t2_re = a * u_re + b * u_im
+    t2_im = b * u_re - a * u_im
+    dSm_re = eye * t1_re[:, None] + t2_re
+    dSm_im = eye * t1_im[:, None] + t2_im
+
+    return jnp.block(
+        [
+            [dSa_re[1:, 1:], dSm_re[1:, 1:]],
+            [dSa_im[1:, 1:], dSm_im[1:, 1:]],
+        ]
+    )
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
-def solve_pfe(Y, p, q, x_tol=1e-5, max_iter=100):
+@partial(jax.jit, static_argnames=("max_iter", "method"))
+def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan"):
     """Newton-Raphson solve of the AC power-flow equations.
 
     Parameters
     ----------
-    Y : [n, n] complex
-        Nodal admittance matrix, slack bus at index 0.
+    Y_re, Y_im : [n, n]
+        Real/imaginary parts of the nodal admittance matrix (slack at 0).
     p, q : [n-1]
-        Net active/reactive injections at the non-slack buses (p.u.).
+        Net injections at the non-slack buses (p.u.).
     x_tol : float
         Convergence tolerance on the inf-norm of the mismatch.
     max_iter : int
         Iteration cap (reference ``lim_iter=100``).
+    method : {"scan", "while"}
+        Loop style; identical results.  "scan" is straight-line (TPU
+        default), "while" early-exits (fast on CPU).
 
-    Returns
-    -------
-    v : [n] complex
-        The final bus-voltage vector (slack pinned at 1+0j).
-    diff : float
-        Final inf-norm of the mismatch (NaN if diverged).
-    n_iter : int
-        Number of NR iterations performed.
-    converged : bool
-        ``diff <= x_tol`` on exit (the reference's ``stable`` flag:
-        solve_load_flow.py:49 -- NaN compares False).
-
-    vmap over the leading axis of (Y, p, q) for batched lockstep solves.
+    Returns ``(v_re, v_im, diff, n_iter, converged)``; vmap over a leading
+    batch axis of (p, q) [and Y] for lockstep batches.
     """
-    n = Y.shape[0]
-    cdtype = Y.dtype
-    rdtype = p.dtype
-    s = p + 1j * q
+    n = Y_re.shape[0]
+    dt = p.dtype
 
-    theta0 = jnp.zeros((n - 1,), dtype=rdtype)
-    vm0 = jnp.ones((n - 1,), dtype=rdtype)
-    F0 = _mismatch(_construct_v(theta0, vm0, cdtype), Y, s).astype(rdtype)
+    theta0 = jnp.zeros((n - 1,), dtype=dt)
+    vm0 = jnp.ones((n - 1,), dtype=dt)
+    vr0, vi0 = _construct_v(theta0, vm0)
+    F0 = _mismatch(vr0, vi0, Y_re, Y_im, p, q)
     diff0 = jnp.max(jnp.abs(F0))
 
-    def cond(carry):
-        _, _, _, diff, it = carry
-        return (diff > x_tol) & (it < max_iter)  # NaN diff exits the loop
+    def nr_update(theta, vm, F):
+        vr, vi = _construct_v(theta, vm)
+        J = _jacobian(vr, vi, Y_re, Y_im)
+        dx = solve_ge(J, F)
+        theta_n = theta - dx[: n - 1]
+        vm_n = vm - dx[n - 1 :]
+        vr, vi = _construct_v(theta_n, vm_n)
+        F_n = _mismatch(vr, vi, Y_re, Y_im, p, q)
+        return theta_n, vm_n, F_n, jnp.max(jnp.abs(F_n))
 
-    def body(carry):
-        theta, vm, F, _, it = carry
-        v = _construct_v(theta, vm, cdtype)
-        J = _jacobian(v, Y)
-        dx = jnp.linalg.solve(J, F.astype(J.dtype))
-        theta = theta - dx[: n - 1]
-        vm = vm - dx[n - 1 :]
-        F = _mismatch(_construct_v(theta, vm, cdtype), Y, s).astype(rdtype)
-        diff = jnp.max(jnp.abs(F))
-        return theta, vm, F, diff, it + 1
+    if method == "while":
 
-    theta, vm, _, diff, n_iter = lax.while_loop(cond, body, (theta0, vm0, F0, diff0, jnp.int32(0)))
-    v = _construct_v(theta, vm, cdtype)
+        def cond(c):
+            _, _, _, diff, it = c
+            return (diff > x_tol) & (it < max_iter)  # NaN diff exits
+
+        def body(c):
+            theta, vm, F, _, it = c
+            theta, vm, F, diff = nr_update(theta, vm, F)
+            return theta, vm, F, diff, it + 1
+
+        theta, vm, _, diff, n_iter = lax.while_loop(cond, body, (theta0, vm0, F0, diff0, jnp.int32(0)))
+    else:
+
+        def body(c, _):
+            theta, vm, F, diff, it = c
+            active = diff > x_tol  # NaN freezes the lane, like the while-cond
+            t_n, v_n, F_n, d_n = nr_update(theta, vm, F)
+            theta = jnp.where(active, t_n, theta)
+            vm = jnp.where(active, v_n, vm)
+            F = jnp.where(active, F_n, F)
+            diff = jnp.where(active, d_n, diff)
+            it = it + active.astype(jnp.int32)
+            return (theta, vm, F, diff, it), None
+
+        (theta, vm, _, diff, n_iter), _ = lax.scan(
+            body, (theta0, vm0, F0, diff0, jnp.int32(0)), None, length=max_iter
+        )
+
+    v_re, v_im = _construct_v(theta, vm)
     converged = diff <= x_tol
-    return v, diff, n_iter, converged
+    return v_re, v_im, diff, n_iter, converged

@@ -155,12 +155,8 @@ class _HostState:
             "dev_q",
             "des_soc",
             "gen_p_pot",
-            "bus_v",
-            "bus_i",
             "bus_p",
             "bus_q",
-            "br_i_from",
-            "br_i_to",
             "br_p_from",
             "br_q_from",
             "br_p_to",
@@ -168,6 +164,10 @@ class _HostState:
             "br_s",
         ):
             setattr(self, f, np.asarray(getattr(sim, f)))
+        self.bus_v = np.asarray(sim.bus_v_re) + 1j * np.asarray(sim.bus_v_im)
+        self.bus_i = np.asarray(sim.bus_i_re) + 1j * np.asarray(sim.bus_i_im)
+        self.br_i_from = np.asarray(sim.br_if_re) + 1j * np.asarray(sim.br_if_im)
+        self.br_i_to = np.asarray(sim.br_it_re) + 1j * np.asarray(sim.br_it_im)
 
 
 class Simulator:
@@ -215,10 +215,13 @@ class Simulator:
         self._state_dict = None
         self.pfe_converged = None
 
+        # Host/CPU facade: use the early-exit while-loop NR variant.
         self._transition_jit = jax.jit(
-            lambda soc, pl, pp, psg, qsg, psd, qsd: transition(spec, soc, pl, pp, psg, qsg, psd, qsd)
+            lambda soc, pl, pp, psg, qsg, psd, qsd: transition(
+                spec, soc, pl, pp, psg, qsg, psd, qsd, pf_method="while"
+            )
         )
-        self._reset_jit = jax.jit(lambda s0: sim_reset(spec, s0))
+        self._reset_jit = jax.jit(lambda s0: sim_reset(spec, s0, pf_method="while"))
 
     # -- Y_bus as a scipy sparse matrix in external-bus-ID order, shaped by
     # max ID like the reference (simulator.py:183-199). -------------------

@@ -121,12 +121,14 @@ def test_branch_flows_formulas():
     rng = np.random.default_rng(2)
     for _ in range(20):
         v = rng.normal(size=2) + 1j * rng.normal(size=2)
-        i_from, i_to, p_from, q_from, p_to, q_to, s_max = compute_branch_flows(spec, jnp.asarray(v))
+        if_re, if_im, it_re, it_im, p_from, q_from, p_to, q_to, s_max = compute_branch_flows(
+            spec, jnp.asarray(v.real), jnp.asarray(v.imag)
+        )
         br = recs["branches"][0]
         i1 = (br.series + br.shunt) * v[0] / np.abs(br.tap) ** 2 - br.series * v[1] / np.conj(br.tap)
         i2 = (br.series + br.shunt) * v[1] - br.series * v[0] / br.tap
-        np.testing.assert_allclose(np.asarray(i_from)[0], i1, rtol=1e-12)
-        np.testing.assert_allclose(np.asarray(i_to)[0], i2, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(if_re)[0] + 1j * np.asarray(if_im)[0], i1, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(it_re)[0] + 1j * np.asarray(it_im)[0], i2, rtol=1e-12)
         s_f, s_t = v[0] * np.conj(i1), v[1] * np.conj(i2)
         np.testing.assert_allclose(np.asarray(p_from)[0], s_f.real, rtol=1e-12)
         np.testing.assert_allclose(np.asarray(q_to)[0], s_t.imag, rtol=1e-12)

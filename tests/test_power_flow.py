@@ -54,7 +54,7 @@ def test_ybus_hand_computed_transformer():
     """Y-bus for a 3-bus network with an off-nominal transformer."""
     net = three_bus_loop_net()
     spec, recs = build_grid(net, 1.0, 10)
-    Y = np.asarray(spec.Y)
+    Y = np.asarray(spec.Y_re) + 1j * np.asarray(spec.Y_im)
 
     # Recompute from the pi-model directly.
     n = 3
@@ -74,24 +74,27 @@ def test_ybus_hand_computed_transformer():
 
 def _check_pfe_invariants(spec, st, atol=1e-5):
     """S = V conj(YV) at every bus; I = YV; branch flow equations."""
-    V = np.asarray(st.bus_v)
-    Y = np.asarray(spec.Y)
+    V = np.asarray(st.bus_v_re) + 1j * np.asarray(st.bus_v_im)
+    Y = np.asarray(spec.Y_re) + 1j * np.asarray(spec.Y_im)
+    I_state = np.asarray(st.bus_i_re) + 1j * np.asarray(st.bus_i_im)
     S = V * np.conj(Y @ V)
     np.testing.assert_allclose(S.real, np.asarray(st.bus_p), atol=atol)
     np.testing.assert_allclose(S.imag, np.asarray(st.bus_q), atol=atol)
-    np.testing.assert_allclose(Y @ V, np.asarray(st.bus_i), atol=atol)
+    np.testing.assert_allclose(Y @ V, I_state, atol=atol)
     # Slack voltage pinned at 1 + 0j.
     np.testing.assert_allclose(V[0], 1.0 + 0j, atol=1e-12)
-    # Branch currents from the pi-model.
+    # Branch currents from the pi-model (via the precomputed coefficients).
     f, t = np.asarray(spec.br_f), np.asarray(spec.br_t)
-    series = np.asarray(spec.br_series)
-    shunt = np.asarray(spec.br_shunt)
-    tap = np.asarray(spec.br_tap)
-    i_from = (series + shunt) * V[f] / np.abs(tap) ** 2 - series * V[t] / np.conj(tap)
-    np.testing.assert_allclose(i_from, np.asarray(st.br_i_from), atol=1e-9)
+    aff = np.asarray(spec.br_aff[:, 0]) + 1j * np.asarray(spec.br_aff[:, 1])
+    aft = np.asarray(spec.br_aft[:, 0]) + 1j * np.asarray(spec.br_aft[:, 1])
+    atf = np.asarray(spec.br_atf[:, 0]) + 1j * np.asarray(spec.br_atf[:, 1])
+    att = np.asarray(spec.br_att[:, 0]) + 1j * np.asarray(spec.br_att[:, 1])
+    i_from = aff * V[f] + aft * V[t]
+    I_from_state = np.asarray(st.br_if_re) + 1j * np.asarray(st.br_if_im)
+    np.testing.assert_allclose(i_from, I_from_state, atol=1e-9)
     # Power balance: sum of injections = losses in branches.
     s_from = V[f] * np.conj(i_from)
-    i_to = (series + shunt) * V[t] - series * V[f] / tap
+    i_to = atf * V[f] + att * V[t]
     s_to = V[t] * np.conj(i_to)
     np.testing.assert_allclose(np.sum(S.real), np.sum(s_from.real + s_to.real), atol=1e-4)
 
@@ -123,19 +126,26 @@ def test_nr_vmap_batched_matches_single():
     B = 16
     p = jnp.asarray(rng.uniform(-0.3, 0.3, (B, spec.n_bus - 1)))
     q = jnp.asarray(rng.uniform(-0.2, 0.2, (B, spec.n_bus - 1)))
-    Ys = jnp.broadcast_to(spec.Y, (B,) + spec.Y.shape)
-    v_b, diff_b, it_b, conv_b = jax.vmap(lambda Y, p, q: solve_pfe(Y, p, q))(Ys, p, q)
+    vmapped = jax.vmap(lambda p, q: solve_pfe(spec.Y_re, spec.Y_im, p, q))
+    vr_b, vi_b, diff_b, it_b, conv_b = vmapped(p, q)
     for i in range(B):
-        v, diff, it, conv = solve_pfe(spec.Y, p[i], q[i])
-        np.testing.assert_allclose(np.asarray(v_b[i]), np.asarray(v), atol=1e-12)
+        vr, vi, diff, it, conv = solve_pfe(spec.Y_re, spec.Y_im, p[i], q[i])
+        np.testing.assert_allclose(np.asarray(vr_b[i]), np.asarray(vr), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(vi_b[i]), np.asarray(vi), atol=1e-12)
         assert bool(conv_b[i]) == bool(conv)
+    # scan and while methods agree exactly.
+    vr_s, vi_s, _, it_s, conv_s = vmapped(p, q)
+    vmapped_w = jax.vmap(lambda p, q: solve_pfe(spec.Y_re, spec.Y_im, p, q, method="while"))
+    vr_w, vi_w, _, it_w, conv_w = vmapped_w(p, q)
+    np.testing.assert_allclose(np.asarray(vr_s), np.asarray(vr_w), atol=1e-13)
+    np.testing.assert_array_equal(np.asarray(it_s), np.asarray(it_w))
 
 
 def test_nr_divergence_flagged_not_raised():
     """Infeasible injections -> converged=False, finite program (no raise)."""
     spec, _ = build_grid(two_bus_net(), 1.0, 10)
     # Absurdly large load -> voltage collapse.
-    v, diff, it, conv = solve_pfe(spec.Y, jnp.asarray([-500.0]), jnp.asarray([-500.0]))
+    vr, vi, diff, it, conv = solve_pfe(spec.Y_re, spec.Y_im, jnp.asarray([-500.0]), jnp.asarray([-500.0]))
     assert not bool(conv)
 
 
