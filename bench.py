@@ -49,18 +49,23 @@ def main():
     if args.profile:
         jax.profiler.start_trace("/tmp/anm_bench_trace")
 
+    # Time each program call separately and report the median: single-shot
+    # wall timing is noisy on tunneled/queued device runtimes.
     keys = jax.random.split(k_run, args.iters)
-    t0 = time.time()
+    times = []
     for i in range(args.iters):
+        t0 = time.time()
         es, (rew, term) = run(es, keys[i])
-    jax.block_until_ready(rew)
-    elapsed = time.time() - t0
+        jax.block_until_ready(rew)
+        times.append(time.time() - t0)
 
     if args.profile:
         jax.profiler.stop_trace()
 
-    total_steps = args.batch * args.steps * args.iters
-    sps = total_steps / elapsed
+    import statistics
+
+    elapsed = statistics.median(times) * args.iters
+    sps = args.batch * args.steps / statistics.median(times)
     # NB: transfer whole [T, B] f32 arrays (0-d transfers are unimplemented
     # on some PJRT backends) and reduce on host.
     import numpy as np

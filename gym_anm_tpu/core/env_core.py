@@ -67,9 +67,18 @@ class ResetOut(NamedTuple):
     n_tries: jax.Array
 
 
+def _bmask(pred, x):
+    """Broadcast a per-lane predicate against a per-lane array ``x`` whose
+    trailing dims are feature dims (leading dims of ``x`` match ``pred``)."""
+    pred = jnp.asarray(pred)
+    extra = jnp.ndim(x) - pred.ndim
+    return pred.reshape(pred.shape + (1,) * max(extra, 0))
+
+
 def _select(pred, a, b):
-    """Pytree select: pred ? a : b (pred is a scalar bool per lane)."""
-    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+    """Pytree select: pred ? a : b (pred is a bool per lane; leaves may have
+    extra trailing feature dims)."""
+    return jax.tree.map(lambda x, y: jnp.where(_bmask(pred, jnp.broadcast_to(x, jnp.shape(y))), x, y), a, b)
 
 
 class EnvCore:
@@ -150,7 +159,7 @@ class EnvCore:
     def state_vec(self, es: EnvState) -> jax.Array:
         """The canonical state vector s_t (zeros in the absorbing state)."""
         vec = self.state_gather(pack_observables(self.spec, es.sim, es.aux))
-        return jnp.where(es.terminated, jnp.zeros_like(vec), vec)
+        return jnp.where(_bmask(es.terminated, vec), jnp.zeros_like(vec), vec)
 
     def observation(self, es: EnvState) -> jax.Array:
         """o_t = clip(extract(s_t)) (anm_env.py:313-331), zeros if terminal."""
@@ -162,7 +171,7 @@ class EnvCore:
             # Host-side callable-observation mode: the adapter computes the
             # observation itself; expose the state vector as a placeholder.
             obs = self.state_vec(es)
-        return jnp.where(es.terminated, jnp.zeros_like(obs), obs)
+        return jnp.where(_bmask(es.terminated, obs), jnp.zeros_like(obs), obs)
 
     # ------------------------------------------------------------------
     def step(self, es: EnvState, action, vars) -> tuple[EnvState, StepOut]:
@@ -180,19 +189,19 @@ class EnvCore:
             )
         action = jnp.asarray(action, dtype=spec.dtype)
 
-        P_load = vars[:n_load] / base
-        P_pot = vars[n_load : n_load + n_gen] / base
-        aux_new = vars[n_load + n_gen :]
+        P_load = vars[..., :n_load] / base
+        P_pot = vars[..., n_load : n_load + n_gen] / base
+        aux_new = vars[..., n_load + n_gen :]
 
         res = transition(
             spec,
             es.sim.des_soc,
             P_load=P_load,
             P_pot=P_pot,
-            P_set_gen=action[:n_gen] / base,
-            Q_set_gen=action[n_gen : 2 * n_gen] / base,
-            P_set_des=action[2 * n_gen : 2 * n_gen + n_des] / base,
-            Q_set_des=action[2 * n_gen + n_des :] / base,
+            P_set_gen=action[..., :n_gen] / base,
+            Q_set_gen=action[..., n_gen : 2 * n_gen] / base,
+            P_set_des=action[..., 2 * n_gen : 2 * n_gen + n_des] / base,
+            Q_set_des=action[..., 2 * n_gen + n_des :] / base,
             x_tol=self.x_tol,
             max_iter=self.max_iter,
             pf_method=self.pf_method,
@@ -208,7 +217,7 @@ class EnvCore:
         term = prev | newly_term
         zero = zeros_state(spec)
         sim_new = _select(term, zero, res.state)
-        aux_out = jnp.where(term, jnp.zeros_like(aux_new), aux_new)
+        aux_out = jnp.where(_bmask(term, aux_new), jnp.zeros_like(aux_new), aux_new)
         es_new = EnvState(sim=sim_new, aux=aux_out, terminated=term)
 
         r = jnp.where(prev, 0.0, r)
@@ -231,7 +240,8 @@ class EnvCore:
 
     # ------------------------------------------------------------------
     def env_state_from_s0(self, s0) -> EnvState:
-        """Apply one initial-state vector (no retry loop)."""
+        """Apply one initial-state vector (no retry loop); supports a
+        leading batch axis."""
         spec = self.spec
         s0 = jnp.asarray(s0, dtype=spec.dtype)
         if s0.shape[-1] != self.expected_s0_n:
@@ -242,34 +252,38 @@ class EnvCore:
                 "Expected size of initial state s0 is %d but actual is %d" % (self.expected_s0_n, s0.shape[-1])
             )
         sim = sim_reset(spec, s0, x_tol=self.x_tol, max_iter=self.max_iter, pf_method=self.pf_method)
-        aux = s0[2 * spec.n_dev + spec.n_des + spec.n_gen :]
-        return EnvState(sim=sim, aux=aux, terminated=jnp.asarray(False))
+        aux = s0[..., 2 * spec.n_dev + spec.n_des + spec.n_gen :]
+        return EnvState(sim=sim, aux=aux, terminated=jnp.zeros(s0.shape[:-1], dtype=bool))
 
-    def reset(self, key) -> tuple[EnvState, ResetOut]:
-        """Rejection-sample initial states until the load flow converges,
-        with the reference's 100-attempt budget (anm_env.py:266-289)."""
-        spec = self.spec
+    def reset(self, key, batch_shape=(), attempts: int = 10) -> tuple[EnvState, ResetOut]:
+        """Rejection-sample initial states until the load flow converges.
 
-        def attempt(key):
-            key, sub = jax.random.split(key)
-            es = self.env_state_from_s0(self.init_state_fn(sub))
-            return key, es, es.sim.pfe_converged
+        The reference retries up to 100 times and raises on exhaustion
+        (anm_env.py:266-289); here the retry loop is a statically-unrolled
+        masked sweep of ``attempts`` rounds (straight-line program, no
+        while-loop) and exhaustion is reported per lane via ``failed``.
+        ``batch_shape`` resets that many lockstep environments at once.
+        """
+        init_one = self.init_state_fn
+        for _ in batch_shape:
+            init_one = jax.vmap(init_one)
+        keys = jax.random.split(key, (attempts,) + tuple(batch_shape))
 
-        key0, es0, ok0 = attempt(key)
-
-        def cond(c):
-            _, _, ok, tries = c
-            return (~ok) & (tries < 100)
-
-        def body(c):
-            key, _, _, tries = c
-            key, es, ok = attempt(key)
-            return key, es, ok, tries + 1
-
-        _, es, ok, tries = jax.lax.while_loop(cond, body, (key0, es0, ok0, jnp.int32(1)))
-        # The reference raises after the 100th sampled state regardless of
-        # whether it converged (anm_env.py:284-289).
-        failed = tries >= 100
+        es = None
+        ok = None
+        tries = None
+        for i in range(attempts):
+            es_i = self.env_state_from_s0(init_one(keys[i]))
+            ok_i = es_i.sim.pfe_converged
+            if es is None:
+                es, ok = es_i, ok_i
+                tries = jnp.ones(jnp.shape(ok), dtype=jnp.int32)
+            else:
+                retry = ~ok
+                es = _select(retry, es_i, es)
+                tries = tries + retry.astype(jnp.int32)
+                ok = ok | ok_i
+        failed = ~ok
         return es, ResetOut(
             obs=self.observation(es), state_vec=self.state_vec(es), failed=failed, n_tries=tries
         )

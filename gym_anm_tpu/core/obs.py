@@ -92,11 +92,11 @@ def pack_observables(spec: GridSpec, sim: SimState, aux) -> jax.Array:
     NumPy>=2 complex-sign semantics (sign(z) = z/|z|) equals the real part.
     """
     srt = spec.bus_sorted
-    vr, vi = sim.bus_v_re[srt], sim.bus_v_im[srt]
-    ir, ii = sim.bus_i_re[srt], sim.bus_i_im[srt]
+    vr, vi = sim.bus_v_re[..., srt], sim.bus_v_im[..., srt]
+    ir, ii = sim.bus_i_re[..., srt], sim.bus_i_im[..., srt]
     segs = [
-        sim.bus_p[srt],
-        sim.bus_q[srt],
+        sim.bus_p[..., srt],
+        sim.bus_q[..., srt],
         jnp.sqrt(vr * vr + vi * vi),
         jnp.arctan2(vi, vr),
         jnp.sqrt(ir * ir + ii * ii),
@@ -110,9 +110,9 @@ def pack_observables(spec: GridSpec, sim: SimState, aux) -> jax.Array:
         sim.br_s,
         sim.br_if_re,
         jnp.arctan2(sim.br_if_im, sim.br_if_re),
-        jnp.asarray(aux, dtype=spec.dtype).reshape(-1),
+        jnp.asarray(aux, dtype=spec.dtype),
     ]
-    return jnp.concatenate([s.astype(spec.dtype) for s in segs])
+    return jnp.concatenate([s.astype(spec.dtype) for s in segs], axis=-1)
 
 
 def _unit_scale(spec: GridSpec, key: str, unit, ext_id) -> float:

@@ -20,6 +20,12 @@ Everything is a pure function of ``(GridSpec, inputs)`` -> ``SimState``;
 ``jax.vmap`` over the inputs yields thousands of lockstep environments.
 All power quantities here are in per-unit (the env layer converts MW/MVAr);
 complex quantities are (re, im) real pairs.
+
+Every function supports an optional leading batch axis on its dynamic
+inputs (``[B, ...]``): the batch then executes natively -- bus aggregation
+and I = YV become [B, n] matmuls, and the NR solver runs its batch-last
+lane layout -- rather than through ``vmap``, which would strand the TPU's
+128-wide vector lanes on the tiny per-network dimensions.
 """
 
 from __future__ import annotations
@@ -44,9 +50,11 @@ class TransitionResult(NamedTuple):
 
 
 def compute_branch_flows(spec: GridSpec, v_re, v_im):
-    """Directional branch currents and power flows (branch.py:153-198)."""
-    vf_re, vf_im = v_re[spec.br_f], v_im[spec.br_f]
-    vt_re, vt_im = v_re[spec.br_t], v_im[spec.br_t]
+    """Directional branch currents and power flows (branch.py:153-198).
+
+    Supports leading batch axes on v_re/v_im."""
+    vf_re, vf_im = v_re[..., spec.br_f], v_im[..., spec.br_f]
+    vt_re, vt_im = v_re[..., spec.br_t], v_im[..., spec.br_t]
 
     if1_re, if1_im = cmul(spec.br_aff[:, 0], spec.br_aff[:, 1], vf_re, vf_im)
     if2_re, if2_im = cmul(spec.br_aft[:, 0], spec.br_aft[:, 1], vt_re, vt_im)
@@ -78,26 +86,29 @@ def _map_set_points(spec: GridSpec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen
 
     # Generators: clip the potential, then cap P by it (devices.py:181-187, 280-304).
     p_pot = jnp.clip(P_pot, spec.gen_p_min, spec.gen_p_max)
-    gen_h0 = jnp.asarray(spec.gen_h0)
-    gen_h = gen_h0.at[:, POLY_ROW_P_CAP].set(p_pot) if spec.n_gen else gen_h0
+    rows = jnp.arange(spec.gen_h0.shape[-1])
+    # Dynamic polytope rows written via broadcasting where (batch-friendly).
+    gen_h = jnp.where(rows == POLY_ROW_P_CAP, p_pot[..., :, None], spec.gen_h0)
 
     # Storage: SoC-rate caps on (dis)charging (devices.py:501-514).
-    des_h = jnp.asarray(spec.des_h0)
-    if spec.n_des:
-        discharge_cap = spec.des_eff * (des_soc - spec.des_soc_min) / spec.delta_t
-        charge_cap = -(des_soc - spec.des_soc_max) / (spec.delta_t * spec.des_eff)
-        des_h = des_h.at[:, POLY_ROW_P_CAP].set(discharge_cap)
-        des_h = des_h.at[:, POLY_ROW_P_FLOOR].set(charge_cap)
+    discharge_cap = spec.des_eff * (des_soc - spec.des_soc_min) / spec.delta_t
+    charge_cap = -(des_soc - spec.des_soc_max) / (spec.delta_t * spec.des_eff)
+    des_h = jnp.where(
+        rows == POLY_ROW_P_CAP,
+        discharge_cap[..., :, None],
+        jnp.where(rows == POLY_ROW_P_FLOOR, charge_cap[..., :, None], spec.des_h0),
+    )
 
     # One batched exact projection for all controllable devices.
     points = jnp.concatenate(
-        [jnp.stack([P_set_gen, Q_set_gen], axis=-1), jnp.stack([P_set_des, Q_set_des], axis=-1)], axis=0
+        [jnp.stack([P_set_gen, Q_set_gen], axis=-1), jnp.stack([P_set_des, Q_set_des], axis=-1)], axis=-2
     )
+    h = jnp.concatenate([gen_h, des_h], axis=-2)
     G = jnp.concatenate([jnp.asarray(spec.gen_G), jnp.asarray(spec.des_G)], axis=0)
-    h = jnp.concatenate([gen_h, des_h], axis=0)
+    G = jnp.broadcast_to(G, h.shape + (2,))
     proj = project_polytope(points.astype(dt), G, h)
-    gen_p, gen_q = proj[: spec.n_gen, 0], proj[: spec.n_gen, 1]
-    des_p, des_q = proj[spec.n_gen :, 0], proj[spec.n_gen :, 1]
+    gen_p, gen_q = proj[..., : spec.n_gen, 0], proj[..., : spec.n_gen, 1]
+    des_p, des_q = proj[..., spec.n_gen :, 0], proj[..., spec.n_gen :, 1]
 
     # SoC update with round-trip efficiency asymmetry + clip (devices.py:524-545).
     new_soc = jnp.where(
@@ -109,24 +120,31 @@ def _map_set_points(spec: GridSpec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen
 
     # Assemble full device injection vectors (slack initialized to 0,
     # simulator.py:520-523).
-    dev_p = jnp.zeros((spec.n_dev,), dtype=dt)
-    dev_q = jnp.zeros((spec.n_dev,), dtype=dt)
-    dev_p = dev_p.at[spec.load_pos].set(load_p).at[spec.gen_pos].set(gen_p).at[spec.des_pos].set(des_p)
-    dev_q = dev_q.at[spec.load_pos].set(load_q).at[spec.gen_pos].set(gen_q).at[spec.des_pos].set(des_q)
+    bs = jnp.broadcast_shapes(load_p.shape[:-1], gen_p.shape[:-1], des_p.shape[:-1])
+    dev_p = jnp.zeros(bs + (spec.n_dev,), dtype=dt)
+    dev_q = jnp.zeros(bs + (spec.n_dev,), dtype=dt)
+    dev_p = (
+        dev_p.at[..., spec.load_pos].set(load_p).at[..., spec.gen_pos].set(gen_p).at[..., spec.des_pos].set(des_p)
+    )
+    dev_q = (
+        dev_q.at[..., spec.load_pos].set(load_q).at[..., spec.gen_pos].set(gen_q).at[..., spec.des_pos].set(des_q)
+    )
     return dev_p, dev_q, new_soc, p_pot
 
 
 def _reward(spec: GridSpec, dev_p, gen_p_pot, v_re, v_im, br_s):
     """Energy loss + constraint penalty (simulator.py:638-683)."""
-    e_loss = jnp.sum(spec.eloss_mask * dev_p)
+    e_loss = jnp.sum(spec.eloss_mask * dev_p, axis=-1)
     if spec.n_rer:
-        curtail = jnp.maximum(0.0, gen_p_pot[spec.rer_gen_idx] - dev_p[spec.rer_pos])
-        e_loss = e_loss + jnp.sum(curtail)
+        curtail = jnp.maximum(0.0, gen_p_pot[..., spec.rer_gen_idx] - dev_p[..., spec.rer_pos])
+        e_loss = e_loss + jnp.sum(curtail, axis=-1)
     e_loss = e_loss * spec.delta_t
 
     v_magn = jnp.sqrt(v_re * v_re + v_im * v_im)
-    v_pen = jnp.sum(jnp.maximum(0.0, v_magn - spec.bus_v_max) + jnp.maximum(0.0, spec.bus_v_min - v_magn))
-    br_pen = jnp.sum(jnp.maximum(0.0, jnp.abs(br_s) - spec.br_rate))
+    v_pen = jnp.sum(
+        jnp.maximum(0.0, v_magn - spec.bus_v_max) + jnp.maximum(0.0, spec.bus_v_min - v_magn), axis=-1
+    )
+    br_pen = jnp.sum(jnp.maximum(0.0, jnp.abs(br_s) - spec.br_rate), axis=-1)
     penalty = (v_pen + br_pen) * spec.delta_t * spec.lamb
 
     return -(e_loss + penalty), e_loss, penalty
@@ -165,25 +183,25 @@ def transition(
     )
 
     # Bus aggregation as a static incidence matmul (simulator.py:539-549).
-    bus_p = spec.inc_bus_dev @ dev_p
-    bus_q = spec.inc_bus_dev @ dev_q
+    bus_p = jnp.einsum("nd,...d->...n", spec.inc_bus_dev, dev_p)
+    bus_q = jnp.einsum("nd,...d->...n", spec.inc_bus_dev, dev_q)
 
     # Newton-Raphson load flow; slack bus is internal index 0.
     v_re, v_im, _, _, converged = solve_pfe(
-        spec.Y_re, spec.Y_im, bus_p[1:], bus_q[1:], x_tol=x_tol, max_iter=max_iter, method=pf_method
+        spec.Y_re, spec.Y_im, bus_p[..., 1:], bus_q[..., 1:], x_tol=x_tol, max_iter=max_iter, method=pf_method
     )
 
     # Nodal currents I = Y V and slack power (solve_load_flow.py:54-72;
     # NaN slack power becomes +inf).  V_slack = 1 + 0j, so
     # S_slack = conj(I_0).
-    i_re = spec.Y_re @ v_re - spec.Y_im @ v_im
-    i_im = spec.Y_re @ v_im + spec.Y_im @ v_re
-    p0 = jnp.where(jnp.isnan(i_re[0]), jnp.inf, i_re[0])
-    q0 = jnp.where(jnp.isnan(i_im[0]), jnp.inf, -i_im[0])
-    bus_p = bus_p.at[0].set(p0)
-    bus_q = bus_q.at[0].set(q0)
-    dev_p = dev_p.at[spec.slack_pos].set(p0)
-    dev_q = dev_q.at[spec.slack_pos].set(q0)
+    i_re = jnp.einsum("nk,...k->...n", spec.Y_re, v_re) - jnp.einsum("nk,...k->...n", spec.Y_im, v_im)
+    i_im = jnp.einsum("nk,...k->...n", spec.Y_re, v_im) + jnp.einsum("nk,...k->...n", spec.Y_im, v_re)
+    p0 = jnp.where(jnp.isnan(i_re[..., 0]), jnp.inf, i_re[..., 0])
+    q0 = jnp.where(jnp.isnan(i_im[..., 0]), jnp.inf, -i_im[..., 0])
+    bus_p = bus_p.at[..., 0].set(p0)
+    bus_q = bus_q.at[..., 0].set(q0)
+    dev_p = dev_p.at[..., spec.slack_pos].set(p0)
+    dev_q = dev_q.at[..., spec.slack_pos].set(q0)
 
     if_re, if_im, it_re, it_im, p_from, q_from, p_to, q_to, s_max = compute_branch_flows(spec, v_re, v_im)
 
@@ -222,12 +240,12 @@ def sim_reset(spec: GridSpec, s0, x_tol=1e-5, max_iter=100, pf_method="scan") ->
     """
     d = spec.n_dev
     base = spec.baseMVA
-    P_dev = s0[:d] / base
-    Q_dev = s0[d : 2 * d] / base
-    soc_target = s0[2 * d : 2 * d + spec.n_des] / base
-    P_max = s0[2 * d + spec.n_des : 2 * d + spec.n_des + spec.n_gen] / base
+    P_dev = s0[..., :d] / base
+    Q_dev = s0[..., d : 2 * d] / base
+    soc_target = s0[..., 2 * d : 2 * d + spec.n_des] / base
+    P_max = s0[..., 2 * d + spec.n_des : 2 * d + spec.n_des + spec.n_gen] / base
 
-    P_set_des = P_dev[spec.des_pos]
+    P_set_des = P_dev[..., spec.des_pos]
     # Pre-set each storage SoC to empty/full so the requested injection is
     # feasible during the transition (simulator.py:273-278).
     soc_pre = jnp.where(P_set_des <= 0, spec.des_soc_min, spec.des_soc_max)
@@ -235,12 +253,12 @@ def sim_reset(spec: GridSpec, s0, x_tol=1e-5, max_iter=100, pf_method="scan") ->
     res = transition(
         spec,
         soc_pre,
-        P_load=P_dev[spec.load_pos],
+        P_load=P_dev[..., spec.load_pos],
         P_pot=P_max,
-        P_set_gen=P_dev[spec.gen_pos],
-        Q_set_gen=Q_dev[spec.gen_pos],
+        P_set_gen=P_dev[..., spec.gen_pos],
+        Q_set_gen=Q_dev[..., spec.gen_pos],
         P_set_des=P_set_des,
-        Q_set_des=Q_dev[spec.des_pos],
+        Q_set_des=Q_dev[..., spec.des_pos],
         x_tol=x_tol,
         max_iter=max_iter,
         pf_method=pf_method,

@@ -1,10 +1,13 @@
 """Batched lockstep environments: the TPU fast path.
 
 The reference steps one environment at a time in Python.  Here an
-:class:`~gym_anm_tpu.core.env_core.EnvCore` is vmapped over an ``[B, ...]``
-batch of :class:`EnvState` pytrees and jitted once, giving thousands of
-lockstep environments per chip; ``rollout`` additionally ``lax.scan``s over
-time so an entire trajectory segment is a single XLA program.
+:class:`~gym_anm_tpu.core.env_core.EnvCore` executes a whole ``[B, ...]``
+batch of :class:`EnvState` pytrees **natively** (the physics supports
+leading batch axes; the NR solver internally lays the batch on the TPU's
+128-wide lane axis -- see :mod:`gym_anm_tpu.ops.power_flow`), giving
+thousands of lockstep environments per chip; ``rollout_fn`` additionally
+``lax.scan``s over time so an entire trajectory segment is a single XLA
+program.
 
 Multi-host/multi-chip scaling shards the batch axis over a
 ``jax.sharding.Mesh`` (see :mod:`gym_anm_tpu.parallel.sharding`): stepping
@@ -14,14 +17,12 @@ for cross-batch reductions (e.g. mean rewards in a learner).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..core.env_core import EnvCore, EnvState, StepOut
-from ..core.state import zeros_state
 
 
 class BatchedStep(NamedTuple):
@@ -46,31 +47,49 @@ class BatchedEnv:
         single-attempt reset (useful for RL training).  If False (default),
         terminated lanes stay in the absorbing zero state -- the reference's
         semantics (anm_env.py:365-367).
+    reset_attempts : int
+        Rejection-sampling rounds in :meth:`reset` (the reference's budget
+        is 100; ANM6Easy initial states virtually always converge on the
+        first attempt).
     """
 
-    def __init__(self, core: EnvCore, batch_size: int, auto_reset: bool = False):
+    def __init__(self, core: EnvCore, batch_size: int, auto_reset: bool = False, reset_attempts: int = 10):
         self.core = core
         self.batch_size = int(batch_size)
         self.auto_reset = bool(auto_reset)
-        self._reset = jax.jit(jax.vmap(core.reset))
-        self._step = jax.jit(jax.vmap(self._step_one))
+        self.reset_attempts = int(reset_attempts)
+        self._reset = jax.jit(
+            lambda key: core.reset(key, batch_shape=(self.batch_size,), attempts=self.reset_attempts)
+        )
+        self._step = jax.jit(self.step_fn)
 
     # ------------------------------------------------------------------
-    def _step_one(self, es: EnvState, action, key):
-        if not self.auto_reset:
-            return self.core.step_with_key(es, action, key)
+    def step_fn(self, es: EnvState, actions, key) -> tuple[EnvState, StepOut]:
+        """One batched step (jittable building block).
+
+        ``actions [B, action_n]``; internal variables are sampled per lane
+        from ``key``; with ``auto_reset`` terminated lanes are re-initialized
+        in the same step (single attempt, keeping the batch lockstep).
+        """
+        core = self.core
+        B = self.batch_size
         k_vars, k_reset = jax.random.split(key)
-        es_new, out = self.core.step_with_key(es, action, k_vars)
-        # Single-attempt reset of terminated lanes (done in the same step so
-        # the batch stays lockstep; rejection-sampling retries are not
-        # affordable per-lane -- tasks whose init states can diverge should
-        # use reset() instead).
-        es_fresh = self.core.env_state_from_s0(self.core.init_state_fn(k_reset))
+        vars_keys = jax.random.split(k_vars, B)
+        vars = jax.vmap(core.next_vars_fn)(core.state_vec(es), vars_keys)
+        es_new, out = core.step(es, actions, vars)
+        if not self.auto_reset:
+            return es_new, out
+
+        reset_keys = jax.random.split(k_reset, B)
+        s0 = jax.vmap(core.init_state_fn)(reset_keys)
+        es_fresh = core.env_state_from_s0(s0)
         reset_now = out.terminated
-        sel = lambda a, b: jax.tree.map(lambda x, y: jnp.where(reset_now, x, y), a, b)
-        es_final = sel(es_fresh, es_new)
-        obs = jnp.where(reset_now, self.core.observation(es_fresh), out.obs)
-        state_vec = jnp.where(reset_now, self.core.state_vec(es_fresh), out.state_vec)
+        bsel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(reset_now.reshape(reset_now.shape + (1,) * (x.ndim - 1)), x, y), a, b
+        )
+        es_final = bsel(es_fresh, es_new)
+        obs = jnp.where(reset_now[:, None], core.observation(es_fresh), out.obs)
+        state_vec = jnp.where(reset_now[:, None], core.state_vec(es_fresh), out.state_vec)
         return es_final, StepOut(
             obs=obs,
             reward=out.reward,
@@ -82,8 +101,7 @@ class BatchedEnv:
 
     # ------------------------------------------------------------------
     def reset(self, key) -> tuple[EnvState, BatchedStep]:
-        keys = jax.random.split(key, self.batch_size)
-        es, out = self._reset(keys)
+        es, out = self._reset(key)
         return es, BatchedStep(
             obs=out.obs,
             reward=jnp.zeros((self.batch_size,), dtype=self.core.spec.dtype),
@@ -92,8 +110,7 @@ class BatchedEnv:
         )
 
     def step(self, es: EnvState, actions, key) -> tuple[EnvState, BatchedStep]:
-        keys = jax.random.split(key, self.batch_size)
-        es, out = self._step(es, actions, keys)
+        es, out = self._step(es, actions, key)
         return es, BatchedStep(
             obs=out.obs, reward=out.reward, terminated=out.terminated, state_vec=out.state_vec
         )
@@ -126,10 +143,9 @@ class BatchedEnv:
         def body(carry, key):
             es, policy_args = carry
             k_act, k_step = jax.random.split(key)
-            obs = jax.vmap(core.observation)(es) if need_obs else None
+            obs = core.observation(es) if need_obs else None
             actions = pol(policy_args, obs, k_act)
-            keys = jax.random.split(k_step, B)
-            es, out = jax.vmap(self._step_one)(es, actions, keys)
+            es, out = self.step_fn(es, actions, k_step)
             ys = (obs, actions, out.reward, out.terminated) if need_obs else (out.reward, out.terminated)
             return (es, policy_args), ys
 

@@ -13,15 +13,21 @@ TPU-first design decisions (vs. a translation):
 * **All complex arithmetic is expanded to real (re, im) pairs** -- complex
   dtypes are poorly supported on TPU runtimes and the real form maps the
   Y*V products onto plain f32 matmuls.
+* **The environment batch is the innermost (lane) axis.**  Internally every
+  tensor is laid out batch-last -- voltages [n, B], Jacobians [2m, 2m, B] --
+  so the 8x128 VPU vectorizes across environments and ``Y @ V`` becomes an
+  [n, n] x [n, B] MXU matmul.  A vmapped batch-first layout would leave the
+  hardware 90+% idle on these tiny per-network dimensions.
 * **Fixed-iteration ``lax.scan`` with per-lane convergence masking** is the
   default loop: converged/diverged lanes freeze (their updates are masked
-  out), so a vmapped batch is one straight-line XLA program with no
-  data-dependent control flow.  ``method="while"`` gives the classic
-  ``lax.while_loop`` early-exit variant for hosts that support it; both
-  produce identical results.
-* The scipy sparse LU becomes a statically-unrolled batched Gaussian
-  elimination (:func:`gym_anm_tpu.ops.linalg.solve_ge`) -- dense is optimal
-  at distribution-network sizes.
+  out), so a batch is one straight-line XLA program with no data-dependent
+  control flow.  ``method="while"`` gives the classic early-exit
+  ``lax.while_loop`` variant for hosts that support it; both produce
+  identical results.
+* The scipy sparse LU becomes a batch-last Gaussian elimination with
+  partial pivoting whose pivot selection uses one-hot contractions instead
+  of gathers; the elimination loop is statically unrolled (dense is optimal
+  at distribution-network sizes).
 
 The slack bus must be index 0 with voltage pinned at 1+0j
 (solve_load_flow.py:167-173; the reference pins 1+0j regardless of
@@ -36,8 +42,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .linalg import solve_ge
-
 _HI = lax.Precision.HIGHEST
 
 
@@ -46,33 +50,70 @@ def cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
+def solve_ge_lanes(A, b):
+    """Solve ``A x = b`` batch-last: A [n, n, B], b [n, B] -> x [n, B].
+
+    Gaussian elimination with partial pivoting; the elimination loop is
+    unrolled at trace time and pivot row selection/swap uses one-hot masks
+    (no gathers), so every op is a [n, n+1, B] elementwise/VPU op with the
+    batch riding the 128-wide lane axis.  Singular lanes yield inf/NaN
+    (detected downstream as divergence), mirroring the reference's singular-
+    Jacobian handling (anm_env.py:280-281).
+    """
+    n = A.shape[0]
+    Ab = jnp.concatenate([A, b[:, None, :]], axis=1)  # [n, n+1, B]
+    rows = jnp.arange(n)
+
+    for k in range(n):
+        # Partial pivot among rows >= k (per lane).
+        col = jnp.abs(Ab[:, k, :])  # [n, B]
+        col = jnp.where((rows >= k)[:, None], col, -jnp.inf)
+        piv = jnp.argmax(col, axis=0)  # [B]
+        onehot = (rows[:, None] == piv[None, :]).astype(Ab.dtype)  # [n, B]
+        # row_piv[c, B] = sum_r onehot[r] * Ab[r, c]
+        row_piv = jnp.einsum("rB,rcB->cB", onehot, Ab)
+        row_k = Ab[k]  # [n+1, B]
+        # Swap: row piv := row k, then row k := row piv.
+        Ab = jnp.where(onehot[:, None, :] > 0, row_k[None, :, :], Ab)
+        Ab = Ab.at[k].set(row_piv)
+        # Eliminate below the pivot.
+        pivot = Ab[k, k, :]  # [B]
+        factor = Ab[:, k, :] / pivot[None, :]  # [n, B]
+        mask = (rows > k)[:, None, None]
+        Ab = Ab - jnp.where(mask, factor[:, None, :] * Ab[k][None, :, :], 0.0)
+
+    # Back substitution (unrolled).
+    x = jnp.zeros_like(b)
+    for k in range(n - 1, -1, -1):
+        acc = jnp.einsum("jB,jB->B", Ab[k, k + 1 : n, :], x[k + 1 : n, :]) if k + 1 < n else 0.0
+        x = x.at[k].set((Ab[k, n, :] - acc) / Ab[k, k, :])
+    return x
+
+
 def _construct_v(theta, vm):
-    """V = [1+0j, vm * exp(j theta)] as (re, im) (solve_load_flow.py:167-173)."""
-    one = jnp.ones((1,), dtype=vm.dtype)
-    zero = jnp.zeros((1,), dtype=vm.dtype)
-    v_re = jnp.concatenate([one, vm * jnp.cos(theta)])
-    v_im = jnp.concatenate([zero, vm * jnp.sin(theta)])
-    return v_re, v_im
+    """V = [1+0j, vm exp(j theta)] as (re, im), shapes [m, B] -> [n, B]."""
+    one = jnp.ones((1,) + theta.shape[1:], dtype=vm.dtype)
+    zero = jnp.zeros_like(one)
+    return jnp.concatenate([one, vm * jnp.cos(theta)]), jnp.concatenate([zero, vm * jnp.sin(theta)])
 
 
 def _yv(Y_re, Y_im, v_re, v_im):
-    """I = Y V in real pairs (two real matvecs each)."""
+    """I = Y V: [n, n] x [n, B] real matmuls (MXU)."""
     i_re = jnp.dot(Y_re, v_re, precision=_HI) - jnp.dot(Y_im, v_im, precision=_HI)
     i_im = jnp.dot(Y_re, v_im, precision=_HI) + jnp.dot(Y_im, v_re, precision=_HI)
     return i_re, i_im
 
 
 def _mismatch(v_re, v_im, Y_re, Y_im, p, q):
-    """F = concat(Re, Im) of (V (Y V)^*)[1:] - (p + jq)."""
+    """F = concat(Re, Im) of (V (Y V)^*)[1:] - (p + jq); all [*, B]."""
     i_re, i_im = _yv(Y_re, Y_im, v_re, v_im)
-    # S = V conj(I).
     s_re = v_re * i_re + v_im * i_im
     s_im = v_im * i_re - v_re * i_im
     return jnp.concatenate([s_re[1:] - p, s_im[1:] - q])
 
 
 def _jacobian(v_re, v_im, Y_re, Y_im):
-    """Real/imag blocks of dS/d(theta), dS/d|V| (solve_load_flow.py:123-164).
+    """J [2m, 2m, B] from the polar blocks (solve_load_flow.py:123-164).
 
     dS_dVa[i,k] = 1j * v_i * conj(delta_ik (Yv)_i - Y_ik v_k)
     dS_dVm[i,k] = delta_ik (v/|v|)_i conj((Yv)_i) + v_i conj(Y_ik (v/|v|)_k)
@@ -81,34 +122,29 @@ def _jacobian(v_re, v_im, Y_re, Y_im):
     i_re, i_im = _yv(Y_re, Y_im, v_re, v_im)
     vmag = jnp.sqrt(v_re * v_re + v_im * v_im)
     vn_re, vn_im = v_re / vmag, v_im / vmag
-    eye = jnp.eye(n, dtype=v_re.dtype)
+    eye = jnp.eye(n, dtype=v_re.dtype)[:, :, None]  # [n, n, 1]
 
+    Yre = Y_re[:, :, None]
+    Yim = Y_im[:, :, None]
     # w = diag(Yv) - Y * v[None, :]
-    yv_re, yv_im = cmul(Y_re, Y_im, v_re[None, :], v_im[None, :])
-    w_re = eye * i_re[:, None] - yv_re
-    w_im = eye * i_im[:, None] - yv_im
-    # 1j * v * conj(w): re = v_im*w_im... expand: (a+jb)(c-jd)*1j -> re = a d - b c? No:
-    # (a+jb)(c-jd) = (ac+bd) + j(bc-ad); * 1j => -(bc-ad) + j(ac+bd).
-    a, b = v_re[:, None], v_im[:, None]
+    yv_re, yv_im = cmul(Yre, Yim, v_re[None, :, :], v_im[None, :, :])  # [n, n, B]
+    w_re = eye * i_re[:, None, :] - yv_re
+    w_im = eye * i_im[:, None, :] - yv_im
+    # 1j * v * conj(w): (a+jb)(c-jd) * 1j = (ad - bc) + j(ac + bd).
+    a, b = v_re[:, None, :], v_im[:, None, :]
     dSa_re = a * w_im - b * w_re
     dSa_im = a * w_re + b * w_im
 
-    # term1 (diagonal): vn * conj(I)
+    # term1 (diagonal): vn * conj(I); term2: v_i * conj(Y_ik vn_k).
     t1_re = vn_re * i_re + vn_im * i_im
     t1_im = vn_im * i_re - vn_re * i_im
-    # term2: v_i * conj(Y_ik vn_k)
-    u_re, u_im = cmul(Y_re, Y_im, vn_re[None, :], vn_im[None, :])
-    t2_re = a * u_re + b * u_im
-    t2_im = b * u_re - a * u_im
-    dSm_re = eye * t1_re[:, None] + t2_re
-    dSm_im = eye * t1_im[:, None] + t2_im
+    u_re, u_im = cmul(Yre, Yim, vn_re[None, :, :], vn_im[None, :, :])
+    dSm_re = eye * t1_re[:, None, :] + (a * u_re + b * u_im)
+    dSm_im = eye * t1_im[:, None, :] + (b * u_re - a * u_im)
 
-    return jnp.block(
-        [
-            [dSa_re[1:, 1:], dSm_re[1:, 1:]],
-            [dSa_im[1:, 1:], dSm_im[1:, 1:]],
-        ]
-    )
+    top = jnp.concatenate([dSa_re[1:, 1:], dSm_re[1:, 1:]], axis=1)
+    bot = jnp.concatenate([dSa_im[1:, 1:], dSm_im[1:, 1:]], axis=1)
+    return jnp.concatenate([top, bot], axis=0)  # [2m, 2m, B]
 
 
 @partial(jax.jit, static_argnames=("max_iter", "method"))
@@ -119,67 +155,84 @@ def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan"):
     ----------
     Y_re, Y_im : [n, n]
         Real/imaginary parts of the nodal admittance matrix (slack at 0).
-    p, q : [n-1]
-        Net injections at the non-slack buses (p.u.).
+    p, q : [m] or [B, m] with m = n-1
+        Net injections at the non-slack buses (p.u.); a leading batch axis
+        runs B environments in lockstep with the batch as the innermost
+        compute axis.
     x_tol : float
         Convergence tolerance on the inf-norm of the mismatch.
     max_iter : int
         Iteration cap (reference ``lim_iter=100``).
     method : {"scan", "while"}
         Loop style; identical results.  "scan" is straight-line (TPU
-        default), "while" early-exits (fast on CPU).
+        default), "while" early-exits (fast on CPU; requires backend
+        while-loop support).
 
-    Returns ``(v_re, v_im, diff, n_iter, converged)``; vmap over a leading
-    batch axis of (p, q) [and Y] for lockstep batches.
+    Returns ``(v_re, v_im, diff, n_iter, converged)`` with the same batch
+    layout as the inputs ([B, n] / [B] when batched).
     """
-    n = Y_re.shape[0]
-    dt = p.dtype
+    single = p.ndim == 1
+    if single:
+        p, q = p[None, :], q[None, :]
 
-    theta0 = jnp.zeros((n - 1,), dtype=dt)
-    vm0 = jnp.ones((n - 1,), dtype=dt)
+    n = Y_re.shape[0]
+    m = n - 1
+    dt = p.dtype
+    pT, qT = p.T, q.T  # [m, B]
+    B = pT.shape[1]
+
+    theta0 = jnp.zeros((m, B), dtype=dt)
+    vm0 = jnp.ones((m, B), dtype=dt)
     vr0, vi0 = _construct_v(theta0, vm0)
-    F0 = _mismatch(vr0, vi0, Y_re, Y_im, p, q)
-    diff0 = jnp.max(jnp.abs(F0))
+    F0 = _mismatch(vr0, vi0, Y_re, Y_im, pT, qT)
+    diff0 = jnp.max(jnp.abs(F0), axis=0)  # [B]
 
     def nr_update(theta, vm, F):
         vr, vi = _construct_v(theta, vm)
         J = _jacobian(vr, vi, Y_re, Y_im)
-        dx = solve_ge(J, F)
-        theta_n = theta - dx[: n - 1]
-        vm_n = vm - dx[n - 1 :]
+        dx = solve_ge_lanes(J, F)
+        theta_n = theta - dx[:m]
+        vm_n = vm - dx[m:]
         vr, vi = _construct_v(theta_n, vm_n)
-        F_n = _mismatch(vr, vi, Y_re, Y_im, p, q)
-        return theta_n, vm_n, F_n, jnp.max(jnp.abs(F_n))
+        F_n = _mismatch(vr, vi, Y_re, Y_im, pT, qT)
+        return theta_n, vm_n, F_n, jnp.max(jnp.abs(F_n), axis=0)
 
     if method == "while":
-
+        # Early-exit loop; exits when every lane has converged/diverged.
         def cond(c):
             _, _, _, diff, it = c
-            return (diff > x_tol) & (it < max_iter)  # NaN diff exits
+            return jnp.any((diff > x_tol) & (it < max_iter))
 
         def body(c):
-            theta, vm, F, _, it = c
-            theta, vm, F, diff = nr_update(theta, vm, F)
-            return theta, vm, F, diff, it + 1
+            theta, vm, F, diff, it = c
+            active = (diff > x_tol) & (it < max_iter)
+            t_n, v_n, F_n, d_n = nr_update(theta, vm, F)
+            theta = jnp.where(active[None, :], t_n, theta)
+            vm = jnp.where(active[None, :], v_n, vm)
+            F = jnp.where(active[None, :], F_n, F)
+            diff = jnp.where(active, d_n, diff)
+            return theta, vm, F, diff, it + active.astype(jnp.int32)
 
-        theta, vm, _, diff, n_iter = lax.while_loop(cond, body, (theta0, vm0, F0, diff0, jnp.int32(0)))
+        it0 = jnp.zeros((B,), dtype=jnp.int32)
+        theta, vm, _, diff, n_iter = lax.while_loop(cond, body, (theta0, vm0, F0, diff0, it0))
     else:
 
         def body(c, _):
             theta, vm, F, diff, it = c
             active = diff > x_tol  # NaN freezes the lane, like the while-cond
             t_n, v_n, F_n, d_n = nr_update(theta, vm, F)
-            theta = jnp.where(active, t_n, theta)
-            vm = jnp.where(active, v_n, vm)
-            F = jnp.where(active, F_n, F)
+            theta = jnp.where(active[None, :], t_n, theta)
+            vm = jnp.where(active[None, :], v_n, vm)
+            F = jnp.where(active[None, :], F_n, F)
             diff = jnp.where(active, d_n, diff)
-            it = it + active.astype(jnp.int32)
-            return (theta, vm, F, diff, it), None
+            return (theta, vm, F, diff, it + active.astype(jnp.int32)), None
 
-        (theta, vm, _, diff, n_iter), _ = lax.scan(
-            body, (theta0, vm0, F0, diff0, jnp.int32(0)), None, length=max_iter
-        )
+        it0 = jnp.zeros((B,), dtype=jnp.int32)
+        (theta, vm, _, diff, n_iter), _ = lax.scan(body, (theta0, vm0, F0, diff0, it0), None, length=max_iter)
 
     v_re, v_im = _construct_v(theta, vm)
     converged = diff <= x_tol
+    v_re, v_im = v_re.T, v_im.T  # [B, n]
+    if single:
+        return v_re[0], v_im[0], diff[0], n_iter[0], converged[0]
     return v_re, v_im, diff, n_iter, converged
