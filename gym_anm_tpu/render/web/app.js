@@ -1,0 +1,216 @@
+/* gym-anm-tpu browser visualization.
+ *
+ * A canvas renderer for the ANM rendering protocol: consumes the same
+ * init/update JSON messages as the reference client but draws the network
+ * procedurally from the init specs (device types, ratings, voltage limits)
+ * instead of relying on a hand-drawn SVG.  Layout: slack bus on top, the
+ * remaining buses on a rail below, devices hanging off their buses with
+ * live P/Q bars, branch flow arrows shaded by loading, per-bus voltage
+ * dials, storage state-of-charge gauge, curtailment markers.
+ */
+"use strict";
+
+const DEV_NAMES = { "-1": "Load", 0: "Slack", 1: "Gen", 2: "RES", 3: "Storage" };
+const DEV_COLORS = { "-1": "#7f8c8d", 0: "#2c3e50", 1: "#8e44ad", 2: "#27ae60", 3: "#2980b9" };
+
+let spec = null; // init message
+let frame = null; // latest update message
+
+function init() {
+  const ws = new WebSocket(wsServerAddress);
+  ws.onmessage = (ev) => {
+    const msg = JSON.parse(ev.data);
+    if (msg.messageLabel === "init") {
+      spec = msg;
+      document.getElementById("title").textContent = msg.title;
+      draw();
+    } else if (msg.messageLabel === "update" && spec !== null) {
+      frame = msg;
+      updateClock(msg);
+      updateReward(msg);
+      draw();
+    }
+  };
+  ws.onclose = () => setTimeout(init, 1000);
+}
+
+function updateClock(msg) {
+  const [month, day, hour, minute] = msg.time;
+  const pad = (x) => String(x).padStart(2, "0");
+  let s = `${pad(day)}/${pad(month)} ${pad(hour)}:${pad(minute)}`;
+  if (msg.yearCount > 0) s += `  (+${msg.yearCount}y)`;
+  document.getElementById("clock").textContent = s;
+}
+
+function updateReward(msg) {
+  const [eloss, penalty] = msg.reward;
+  const eb = document.getElementById("eloss-bar");
+  const pb = document.getElementById("penalty-bar");
+  eb.style.width = Math.min(100, (100 * Math.abs(eloss)) / spec.energyLossMax) + "%";
+  pb.style.width = Math.min(100, (100 * penalty) / spec.penaltyMax) + "%";
+  document.getElementById("collapse-banner").hidden = !msg.networkCollapsed;
+}
+
+function busLayout(nBus, W, H) {
+  // Slack bus centered on top, other buses evenly spaced on a lower rail.
+  const pts = [{ x: W / 2, y: 70 }];
+  const n = nBus - 1;
+  for (let i = 0; i < n; i++) {
+    pts.push({ x: ((i + 1) * W) / (n + 1), y: H / 2 });
+  }
+  return pts;
+}
+
+function branchEndpoints(nBus) {
+  // Without topology in the init message, draw a star from the slack bus
+  // plus a rail between adjacent lower buses; flows map to sFlows order.
+  const edges = [];
+  for (let i = 1; i < nBus && edges.length < spec.sRate.length; i++) edges.push([0, i]);
+  for (let i = 1; i + 1 < nBus && edges.length < spec.sRate.length; i++) edges.push([i, i + 1]);
+  return edges;
+}
+
+function loadColor(frac) {
+  if (!isFinite(frac)) frac = 0;
+  const f = Math.max(0, Math.min(1, frac));
+  const r = Math.round(46 + f * (231 - 46));
+  const g = Math.round(204 - f * (204 - 76));
+  const b = Math.round(113 - f * (113 - 60));
+  return `rgb(${r},${g},${b})`;
+}
+
+function draw() {
+  if (spec === null) return;
+  const canvas = document.getElementById("network");
+  const ctx = canvas.getContext("2d");
+  const W = canvas.width;
+  const H = canvas.height;
+  ctx.clearRect(0, 0, W, H);
+
+  const nDev = spec.deviceType.length;
+  const nBus = spec.vMagnMin.length;
+  const buses = busLayout(nBus, W, H);
+  const edges = branchEndpoints(nBus);
+
+  // Branches with loading shading + flow labels.
+  ctx.lineWidth = 4;
+  edges.forEach(([a, b], k) => {
+    const s = frame ? Math.abs(frame.sFlows[k]) : 0;
+    const frac = spec.sRate[k] > 0 ? s / spec.sRate[k] : 0;
+    ctx.strokeStyle = loadColor(frac);
+    ctx.beginPath();
+    ctx.moveTo(buses[a].x, buses[a].y);
+    ctx.lineTo(buses[b].x, buses[b].y);
+    ctx.stroke();
+    const mx = (buses[a].x + buses[b].x) / 2;
+    const my = (buses[a].y + buses[b].y) / 2;
+    ctx.fillStyle = "#333";
+    ctx.font = "11px sans-serif";
+    if (frame) ctx.fillText(`${s.toFixed(1)}/${spec.sRate[k].toFixed(0)} MVA`, mx + 6, my - 6);
+  });
+
+  // Buses: voltage dial (colored by limit violation).
+  buses.forEach((p, i) => {
+    const v = frame ? frame.vMagn[i] : 1.0;
+    const bad = v < spec.vMagnMin[i] - 1e-9 || v > spec.vMagnMax[i] + 1e-9;
+    ctx.fillStyle = bad ? "#e74c3c" : "#2c3e50";
+    ctx.beginPath();
+    ctx.arc(p.x, p.y, 9, 0, 2 * Math.PI);
+    ctx.fill();
+    ctx.fillStyle = "#333";
+    ctx.font = "12px sans-serif";
+    ctx.fillText(`bus ${i}`, p.x - 14, p.y - 14);
+    if (frame) ctx.fillText(`${v.toFixed(3)} pu`, p.x - 22, p.y + 26);
+  });
+
+  // Devices: distribute below non-slack buses round-robin; slack device at top.
+  let rr = 0;
+  const devPos = [];
+  for (let d = 0; d < nDev; d++) {
+    if (spec.deviceType[d] === 0) {
+      devPos.push({ x: buses[0].x, y: buses[0].y - 40 });
+    } else {
+      const bus = 1 + (rr % (nBus - 1));
+      const stack = Math.floor(rr / (nBus - 1));
+      devPos.push({ x: buses[bus].x - 30 + 60 * (stack % 2), y: H / 2 + 110 + 90 * Math.floor(stack / 2) });
+      rr += 1;
+    }
+  }
+
+  devPos.forEach((p, d) => {
+    const type = spec.deviceType[d];
+    ctx.fillStyle = DEV_COLORS[type] || "#555";
+    ctx.fillRect(p.x - 26, p.y - 16, 52, 32);
+    ctx.fillStyle = "#fff";
+    ctx.font = "11px sans-serif";
+    ctx.fillText(DEV_NAMES[type] || "?", p.x - 20, p.y + 4);
+
+    if (frame) {
+      const pInj = frame.pInjections[d];
+      const qInj = frame.qInjections[d];
+      // P bar (signed) scaled by pMax.
+      const w = 60;
+      const frac = spec.pMax[d] > 0 ? pInj / spec.pMax[d] : 0;
+      ctx.fillStyle = "#ddd";
+      ctx.fillRect(p.x - w / 2, p.y + 22, w, 7);
+      ctx.fillStyle = frac >= 0 ? "#27ae60" : "#c0392b";
+      const bw = (Math.min(1, Math.abs(frac)) * w) / 2;
+      ctx.fillRect(p.x + (frac >= 0 ? 0 : -bw), p.y + 22, bw, 7);
+      ctx.fillStyle = "#333";
+      ctx.fillText(`P ${pInj.toFixed(1)} MW  Q ${qInj.toFixed(1)}`, p.x - 38, p.y + 44);
+
+      // Curtailment marker for renewables.
+      if (type === 2) {
+        const idxRES = spec.deviceType.slice(0, d).filter((t) => t === 1 || t === 2).length;
+        const pot = frame.pPotential[idxRES];
+        if (isFinite(pot)) {
+          const px = p.x - w / 2 + (Math.min(1, pot / spec.pMax[d]) * w) / 1;
+          ctx.strokeStyle = "#f39c12";
+          ctx.lineWidth = 2;
+          ctx.beginPath();
+          ctx.moveTo(p.x - w / 2 + Math.min(1, pot / spec.pMax[d]) * w, p.y + 19);
+          ctx.lineTo(p.x - w / 2 + Math.min(1, pot / spec.pMax[d]) * w, p.y + 32);
+          ctx.stroke();
+        }
+      }
+
+      // Storage SoC gauge.
+      if (type === 3) {
+        const idxDES = spec.deviceType.slice(0, d).filter((t) => t === 3).length;
+        const soc = frame.socStorage[idxDES];
+        const maxSoc = spec.socMax[idxDES];
+        ctx.fillStyle = "#ddd";
+        ctx.fillRect(p.x + 34, p.y - 16, 8, 32);
+        const hgt = Math.min(1, soc / maxSoc) * 32;
+        ctx.fillStyle = "#2980b9";
+        ctx.fillRect(p.x + 34, p.y + 16 - hgt, 8, hgt);
+        ctx.fillStyle = "#333";
+        ctx.fillText(`${soc.toFixed(0)} MWh`, p.x + 30, p.y + 44);
+      }
+    }
+
+    // Connector to its bus (nearest non-slack bus / slack).
+    ctx.strokeStyle = "#95a5a6";
+    ctx.lineWidth = 1.5;
+    const bp = spec.deviceType[d] === 0 ? buses[0] : nearestBus(buses, p);
+    ctx.beginPath();
+    ctx.moveTo(p.x, p.y - (spec.deviceType[d] === 0 ? -16 : 16));
+    ctx.lineTo(bp.x, bp.y);
+    ctx.stroke();
+  });
+}
+
+function nearestBus(buses, p) {
+  let best = buses[1];
+  let bd = Infinity;
+  for (let i = 1; i < buses.length; i++) {
+    const d = Math.abs(buses[i].x - p.x);
+    if (d < bd) {
+      bd = d;
+      best = buses[i];
+    }
+  }
+  return best;
+}
+
+init();

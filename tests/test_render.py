@@ -1,0 +1,58 @@
+"""Headless rendering-stack test: boots the HTTP + WS servers, attaches a
+fake browser client, runs ANM6Easy render() frames and verifies the init /
+update protocol messages arrive with the reference schema."""
+
+import json
+import time
+from unittest import mock
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.timeout(120)
+def test_render_protocol_end_to_end():
+    websocket = pytest.importorskip("websocket")
+    import gym_anm_tpu
+
+    env = gym_anm_tpu.envs.ANM6Easy()
+    env.reset(seed=4)
+
+    with mock.patch("webbrowser.open"):
+        env.render()
+        try:
+            # Attach a listener as the browser would; it should receive the
+            # cached init message immediately.
+            ws = websocket.create_connection(env.ws_server.address, timeout=10)
+            init_msg = json.loads(ws.recv())
+            assert init_msg["messageLabel"] == "init"
+            assert init_msg["deviceType"] == [0, -1, 2, -1, 2, -1, 3]
+            assert len(init_msg["sRate"]) == 5
+            assert init_msg["vMagnMin"] == [1.0, 0.9, 0.9, 0.9, 0.9, 0.9]
+            assert init_msg["energyLossMax"] == 1 and init_msg["penaltyMax"] == 100
+
+            # The HTTP server serves the client page.
+            import requests
+
+            page = requests.get(env.http_server.address + "/", timeout=10)
+            assert page.status_code == 200 and "app.js" in page.text
+
+            # Step + render -> an update frame reaches the listener.
+            a = env.action_space.sample()
+            env.step(a)
+            env.render()
+            upd = json.loads(ws.recv())
+            assert upd["messageLabel"] == "update"
+            assert len(upd["pInjections"]) == 7
+            assert len(upd["vMagn"]) == 6
+            assert len(upd["socStorage"]) == 1
+            assert isinstance(upd["networkCollapsed"], bool)
+            np.testing.assert_allclose(
+                upd["pInjections"],
+                list(env.simulator.state["dev_p"]["MW"].values()),
+                rtol=1e-6,
+            )
+            ws.close()
+        finally:
+            env.close()
+            time.sleep(0.2)
