@@ -1,0 +1,21 @@
+"""Run the perfect-forecast MPC DC-OPF policy on ANM6Easy-v0."""
+import gymnasium as gym
+
+from gym_anm_tpu import MPCAgentPerfect
+
+
+def run():
+    env = gym.make("ANM6Easy-v0")
+    o, _ = env.reset()
+
+    raw_env = env.unwrapped
+    agent = MPCAgentPerfect(raw_env.simulator, env.action_space, raw_env.gamma, safety_margin=0.96, planning_steps=10)
+
+    for t in range(100):
+        a = agent.act(env.unwrapped)
+        obs, r, terminated, _, _ = env.step(a)
+        print(f"t={t}, r_t={r:.3}")
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,28 @@
+"""Interact with the ANM6Easy-v0 task using random actions, with rendering.
+
+Mirrors the reference example (examples/random_agent.py): sample random
+actions, render each step, reset on terminal states.
+"""
+import time
+
+import gymnasium as gym
+import gym_anm_tpu  # noqa: F401  (registers ANM6Easy-v0)
+
+
+def run():
+    env = gym.make("ANM6Easy-v0")
+    o, _ = env.reset()
+
+    for i in range(10):
+        a = env.action_space.sample()
+        o, r, terminated, _, _ = env.step(a)
+        env.render()
+        time.sleep(0.5)  # otherwise the rendering is too fast for the human eye
+
+        if terminated:
+            o, _ = env.reset()
+    env.close()
+
+
+if __name__ == "__main__":
+    run()

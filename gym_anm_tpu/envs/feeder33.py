@@ -1,0 +1,184 @@
+"""A synthetic 33-bus radial distribution feeder environment.
+
+Stress-tests the batched NR solve and constraint checks at a larger state
+dimension than ANM6 (BASELINE.json config 4): 33 buses on a radial feeder
+with three laterals, 22 loads, 5 renewable generators, 2 storage units.
+Impedances/ratings are drawn once from realistic distribution-network
+ranges with a fixed seed, so the network dict is deterministic and the
+environment is reproducible.
+
+Provides both the Gymnasium class (:class:`Feeder33Env`, host hooks) and a
+pure-functional :func:`make_core` for the batched/vmapped fast path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+import jax.random as jrandom
+
+from .anm_env import ANMEnv
+
+
+def make_feeder_network(n_bus: int = 33, seed: int = 0) -> dict:
+    """Build the deterministic synthetic radial feeder network dict."""
+    rng = np.random.default_rng(seed)
+
+    # Topology: main feeder 0-1-...-k plus three laterals.
+    n_main = n_bus - 12
+    branches = [(i, i + 1) for i in range(n_main - 1)]
+    lateral_roots = [3, 6, 9]
+    b = n_main
+    for root in lateral_roots:
+        prev = root
+        for _ in range(4):
+            if b >= n_bus:
+                break
+            branches.append((prev, b))
+            prev = b
+            b += 1
+
+    bus_rows = [[0, 0, 132, 1.0, 1.0]]
+    for i in range(1, n_bus):
+        bus_rows.append([i, 1, 12.66, 1.1, 0.9])
+
+    branch_rows = []
+    for f, t in branches:
+        r = rng.uniform(0.01, 0.08)
+        x = rng.uniform(0.02, 0.09)
+        rate = 30.0 if f == 0 else rng.uniform(8.0, 15.0)
+        branch_rows.append([f, t, r, x, 0.0, rate, 1, 0])
+
+    # Devices: slack at bus 0; loads on most buses; 5 PV; 2 storage.
+    dev_rows = [[0, 0, 0, None, 500, -500, 500, -500] + [None] * 7]
+    dev_id = 1
+    pv_buses = set(np.linspace(4, n_bus - 2, 5, dtype=int).tolist())
+    des_buses = {n_main - 1, n_bus - 1}
+    for i in range(1, n_bus):
+        p_min = -float(np.round(rng.uniform(0.5, 3.0), 3))
+        dev_rows.append([dev_id, i, -1, 0.25, 0, p_min] + [None] * 9)
+        dev_id += 1
+        if i in pv_buses:
+            p_max = float(np.round(rng.uniform(2.0, 8.0), 3))
+            dev_rows.append(
+                [dev_id, i, 2, None, p_max, 0, p_max, -p_max, 0.75 * p_max, None, 0.6 * p_max, -0.6 * p_max]
+                + [None] * 3
+            )
+            dev_id += 1
+        if i in des_buses:
+            dev_rows.append([dev_id, i, 3, None, 5, -5, 5, -5, 4, -4, 4, -4, 20, 0, 0.92])
+            dev_id += 1
+
+    return {
+        "baseMVA": 100.0,
+        "bus": np.array(bus_rows, dtype=object),
+        "device": np.array(dev_rows, dtype=object),
+        "branch": np.array(branch_rows, dtype=object),
+    }
+
+
+_NETWORK = make_feeder_network()
+
+
+class Feeder33Env(ANMEnv):
+    """Gymnasium environment on the 33-bus feeder with stochastic loads
+    (Ornstein-Uhlenbeck-like mean-reverting noise around a daily profile)
+    and renewable potentials."""
+
+    def __init__(self, seed=None):
+        observation = "state"
+        K = 1
+        delta_t = 0.25
+        gamma = 0.995
+        lamb = 100
+        aux_bounds = np.array([[0, 95]])
+        costs_clipping = (1, 100)
+        super().__init__(_NETWORK, observation, K, delta_t, gamma, lamb, aux_bounds, costs_clipping, seed)
+        spec = self.simulator.spec
+        self._load_scale = -np.asarray(spec.load_p_min) * spec.baseMVA
+        self._pv_scale = np.asarray(spec.gen_p_max) * spec.baseMVA
+
+    def init_state(self):
+        spec = self.simulator.spec
+        n_dev, n_des, n_gen = spec.n_dev, spec.n_des, spec.n_gen
+        state = np.zeros(2 * n_dev + n_des + n_gen + self.K)
+        t0 = self.np_random.integers(0, 96)
+        state[-1] = t0
+        frac = _daily_factor(t0)
+        loads = -self._load_scale * frac * self.np_random.uniform(0.3, 0.9, spec.n_load)
+        pos = np.asarray(spec.load_pos)
+        state[pos] = loads
+        state[n_dev + pos] = loads * 0.25
+        pots = self._pv_scale * self.np_random.uniform(0.2, 1.0, n_gen)
+        state[np.asarray(spec.gen_pos)] = pots
+        state[2 * n_dev + n_des :][:n_gen] = pots
+        state[2 * n_dev : 2 * n_dev + n_des] = self.np_random.uniform(
+            0, np.asarray(spec.des_soc_max) * spec.baseMVA
+        )
+        return state
+
+    def next_vars(self, s_t):
+        spec = self.simulator.spec
+        aux = int((s_t[-1] + 1) % 96)
+        frac = _daily_factor(aux)
+        loads = -self._load_scale * frac * self.np_random.uniform(0.3, 0.9, spec.n_load)
+        pots = self._pv_scale * self.np_random.uniform(0.2, 1.0, spec.n_gen)
+        return np.concatenate([loads, pots, [aux]])
+
+
+def _daily_factor(t):
+    """Smooth daily demand factor in [0.5, 1] peaking in the evening."""
+    return 0.75 + 0.25 * np.sin(2 * np.pi * (np.asarray(t, dtype=float) / 96.0 - 0.3))
+
+
+def make_core(dtype=None, pf_max_iter=15, pf_method="scan"):
+    """Pure-functional EnvCore for the feeder (batched fast path)."""
+    from ..core.env_core import EnvCore
+    from ..core.grid import build_grid
+    from ..core.obs import state_values_spec
+
+    spec, _ = build_grid(_NETWORK, delta_t=0.25, lamb=100, dtype=dtype)
+    K = 1
+    load_scale = jnp.asarray(-np.asarray(spec.load_p_min) * spec.baseMVA, dtype=spec.dtype)
+    pv_scale = jnp.asarray(np.asarray(spec.gen_p_max) * spec.baseMVA, dtype=spec.dtype)
+    soc_max_mwh = jnp.asarray(np.asarray(spec.des_soc_max) * spec.baseMVA, dtype=spec.dtype)
+    load_pos = np.asarray(spec.load_pos)
+    gen_pos = np.asarray(spec.gen_pos)
+    n_dev, n_des, n_gen, n_load = spec.n_dev, spec.n_des, spec.n_gen, spec.n_load
+
+    def daily(t):
+        return 0.75 + 0.25 * jnp.sin(2 * jnp.pi * (t / 96.0 - 0.3))
+
+    def init_state_fn(key):
+        k1, k2, k3, k4 = jrandom.split(key, 4)
+        t0 = jrandom.randint(k1, (), 0, 96).astype(spec.dtype)
+        loads = -load_scale * daily(t0) * jrandom.uniform(k2, (n_load,), spec.dtype, 0.3, 0.9)
+        pots = pv_scale * jrandom.uniform(k3, (n_gen,), spec.dtype, 0.2, 1.0)
+        soc = jrandom.uniform(k4, (n_des,), spec.dtype) * soc_max_mwh
+        s = jnp.zeros((2 * n_dev + n_des + n_gen + K,), dtype=spec.dtype)
+        s = s.at[load_pos].set(loads).at[n_dev + load_pos].set(loads * 0.25)
+        s = s.at[gen_pos].set(pots)
+        s = s.at[2 * n_dev + n_des + jnp.arange(n_gen)].set(pots)
+        s = s.at[2 * n_dev + jnp.arange(n_des)].set(soc)
+        s = s.at[-1].set(t0)
+        return s
+
+    def next_vars_fn(s_t, key):
+        k1, k2 = jrandom.split(key)
+        aux = jnp.mod(s_t[-1] + 1, 96)
+        loads = -load_scale * daily(aux) * jrandom.uniform(k1, (n_load,), spec.dtype, 0.3, 0.9)
+        pots = pv_scale * jrandom.uniform(k2, (n_gen,), spec.dtype, 0.2, 1.0)
+        return jnp.concatenate([loads, pots, aux.reshape(1).astype(spec.dtype)])
+
+    return EnvCore(
+        spec,
+        K=K,
+        gamma=0.995,
+        costs_clipping=(1, 100),
+        obs_values=state_values_spec(spec, K),
+        aux_bounds=np.array([[0, 95]]),
+        init_state_fn=init_state_fn,
+        next_vars_fn=next_vars_fn,
+        max_iter=pf_max_iter,
+        pf_method=pf_method,
+    )
