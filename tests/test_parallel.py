@@ -1,0 +1,61 @@
+"""Multi-device sharding: correctness and scaling of the batched env over a
+host-device mesh (8 virtual CPU devices via XLA_FLAGS; see conftest.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gym_anm_tpu.envs.anm6.anm6_easy import make_core
+from gym_anm_tpu.envs.batched import BatchedEnv
+from gym_anm_tpu.parallel.sharding import batch_sharding, make_mesh, shard_batch
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_rollout_matches_single_device():
+    core = make_core(pf_max_iter=10)
+    B = 64
+    env = BatchedEnv(core, batch_size=B)
+    key = jax.random.PRNGKey(0)
+    es, _ = env.reset(key)
+    run = jax.jit(env.rollout_fn(n_steps=8))
+
+    es1, (rew1, term1) = run(es, key)
+
+    mesh = make_mesh()
+    es_sharded = shard_batch(es, mesh)
+    es2, (rew2, term2) = run(es_sharded, key)
+
+    np.testing.assert_allclose(np.asarray(rew1), np.asarray(rew2), atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(term1), np.asarray(term2))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharding_propagates_through_step():
+    core = make_core()
+    B = 32
+    env = BatchedEnv(core, batch_size=B)
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(1)
+    es, first = env.reset(key)
+    es = shard_batch(es, mesh)
+
+    lo = jnp.asarray(core.action_low)
+    hi = jnp.asarray(core.action_high)
+    actions = jax.device_put(
+        jnp.broadcast_to((lo + hi) / 2, (B, core.action_n)), batch_sharding(mesh)
+    )
+    es2, out = env.step(es, actions, key)
+    # The output batch stays sharded over the mesh (no implicit gather).
+    shard_axes = out.obs.sharding.spec
+    assert shard_axes[0] == "env"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_ppo_dryrun_on_mesh():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("graft_entry", "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(len(jax.devices()))

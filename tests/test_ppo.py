@@ -1,0 +1,28 @@
+"""PPO trainer: mechanics (shapes, finite losses) and learning signal."""
+
+import numpy as np
+import jax
+
+from gym_anm_tpu.envs.anm6.anm6_easy import make_core
+from gym_anm_tpu.rl import PPOConfig, PPOTrainer
+
+
+def test_train_step_mechanics():
+    cfg = PPOConfig(rollout_steps=8, minibatches=2, epochs=1, hidden=(32, 32))
+    trainer = PPOTrainer(make_core(), batch_size=16, config=cfg, seed=0)
+    history = trainer.train(iterations=2, key=jax.random.PRNGKey(0))
+    assert len(history) == 2
+    for m in history:
+        assert np.isfinite(m["loss"]) and np.isfinite(m["mean_reward"])
+        assert 0.0 <= m["terminated_frac"] <= 1.0
+
+
+def test_ppo_learns_on_anm6easy():
+    """Mean policy reward improves markedly within a few iterations (the
+    dominant early learning signal is avoiding grid collapse)."""
+    cfg = PPOConfig(rollout_steps=32, minibatches=4, epochs=4, hidden=(64, 64), lr=3e-4)
+    trainer = PPOTrainer(make_core(), batch_size=64, config=cfg, seed=0)
+    history = trainer.train(iterations=12, key=jax.random.PRNGKey(0))
+    first3 = np.mean([m["mean_reward"] for m in history[:3]])
+    last3 = np.mean([m["mean_reward"] for m in history[-3:]])
+    assert last3 > first3 + 10.0, (first3, last3)
