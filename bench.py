@@ -26,12 +26,13 @@ def main():
     ap.add_argument("--steps", type=int, default=64, help="scanned steps per program call")
     ap.add_argument("--iters", type=int, default=10, help="timed program calls")
     ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--pf", default="pallas", choices=["pallas", "scan"], help="NR solver path")
     args = ap.parse_args()
 
     from gym_anm_tpu.envs.anm6.anm6_easy import make_core
     from gym_anm_tpu.envs.batched import BatchedEnv
 
-    core = make_core()
+    core = make_core(pf_method=args.pf)
     env = BatchedEnv(core, batch_size=args.batch)
 
     key = jax.random.PRNGKey(0)

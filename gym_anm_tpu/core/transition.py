@@ -187,9 +187,26 @@ def transition(
     bus_q = jnp.einsum("nd,...d->...n", spec.inc_bus_dev, dev_q)
 
     # Newton-Raphson load flow; slack bus is internal index 0.
-    v_re, v_im, _, _, converged = solve_pfe(
-        spec.Y_re, spec.Y_im, bus_p[..., 1:], bus_q[..., 1:], x_tol=x_tol, max_iter=max_iter, method=pf_method
+    p_in, q_in = bus_p[..., 1:], bus_q[..., 1:]
+    use_pallas = (
+        pf_method == "pallas"
+        and p_in.ndim == 2
+        and p_in.dtype == jnp.float32
+        and p_in.shape[0] % 128 == 0
     )
+    if use_pallas:
+        from ..ops.pallas_nr import solve_pfe_pallas
+
+        B = p_in.shape[0]
+        tile = next(t for t in (512, 256, 128) if B % t == 0)
+        v_re, v_im, _, _, converged = solve_pfe_pallas(
+            spec.Y_re, spec.Y_im, p_in, q_in, x_tol=x_tol, max_iter=max_iter, tile=tile
+        )
+    else:
+        method = "scan" if pf_method == "pallas" else pf_method
+        v_re, v_im, _, _, converged = solve_pfe(
+            spec.Y_re, spec.Y_im, p_in, q_in, x_tol=x_tol, max_iter=max_iter, method=method
+        )
 
     # Nodal currents I = Y V and slack power (solve_load_flow.py:54-72;
     # NaN slack power becomes +inf).  V_slack = 1 + 0j, so

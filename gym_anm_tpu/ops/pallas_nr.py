@@ -1,0 +1,192 @@
+"""Fused Pallas TPU kernel for the batched Newton-Raphson power flow.
+
+The XLA scan path (ops/power_flow.py) materializes every Jacobian/
+elimination temporary in HBM between ops; at distribution-network sizes the
+solve is bandwidth-bound on those [n, n, B] round trips.  This kernel runs
+the **entire** fixed-iteration NR loop inside VMEM for a tile of
+environments: per grid program it loads the (tiny) admittance matrix and a
+[m, TB] tile of injections, then iterates mismatch -> Jacobian -> Gaussian
+elimination -> masked update with every intermediate resident on-chip.
+HBM traffic drops to the injections in and the voltages out.
+
+The math is identical to :mod:`gym_anm_tpu.ops.power_flow` (same flat
+start, mismatch, polar Jacobian, partial-pivot elimination via one-hot
+masks, per-lane convergence masking); results match the scan path to f32
+round-off.  float32 only (TPU-native dtype).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE = 512  # environments per grid program (multiple of 128)
+
+
+def _nr_tile_kernel(Yre_ref, Yim_ref, p_ref, q_ref, vr_ref, vi_ref, diff_ref, it_ref, *, n, x_tol, max_iter):
+    m = n - 1
+    Yre = Yre_ref[:]  # [n, n]
+    Yim = Yim_ref[:]
+    p = p_ref[:]  # [m, TB]
+    q = q_ref[:]
+    TB = p.shape[1]
+    fdt = p.dtype
+
+    rows_m = jax.lax.broadcasted_iota(jnp.int32, (m, TB), 0)
+
+    def construct_v(theta, vm):
+        vr = jnp.concatenate([jnp.ones((1, TB), fdt), vm * jnp.cos(theta)], axis=0)
+        vi = jnp.concatenate([jnp.zeros((1, TB), fdt), vm * jnp.sin(theta)], axis=0)
+        return vr, vi
+
+    def yv(vr, vi):
+        # Exact-f32 VPU broadcast-sum: the MXU truncates f32 operands to
+        # bf16, which is fatal for the 1e-5 mismatch criterion (Y entries
+        # reach O(100)).  n is tiny, so the O(n^2 * TB) elementwise form is
+        # both exact and cheap.
+        Yre3 = Yre[:, :, None]
+        Yim3 = Yim[:, :, None]
+        ir = jnp.sum(Yre3 * vr[None, :, :] - Yim3 * vi[None, :, :], axis=1)
+        ii = jnp.sum(Yre3 * vi[None, :, :] + Yim3 * vr[None, :, :], axis=1)
+        return ir, ii
+
+    def mismatch(vr, vi, ir, ii):
+        s_re = vr * ir + vi * ii
+        s_im = vi * ir - vr * ii
+        return jnp.concatenate([s_re[1:] - p, s_im[1:] - q], axis=0)  # [2m, TB]
+
+    def jacobian(vr, vi, ir, ii):
+        vmag = jnp.sqrt(vr * vr + vi * vi)
+        vnr, vni = vr / vmag, vi / vmag
+        eye = jnp.eye(n, dtype=fdt)[:, :, None]
+        Yre3 = Yre[:, :, None]
+        Yim3 = Yim[:, :, None]
+        yvr = Yre3 * vr[None, :, :] - Yim3 * vi[None, :, :]
+        yvi = Yre3 * vi[None, :, :] + Yim3 * vr[None, :, :]
+        w_re = eye * ir[:, None, :] - yvr
+        w_im = eye * ii[:, None, :] - yvi
+        a, b = vr[:, None, :], vi[:, None, :]
+        dSa_re = a * w_im - b * w_re
+        dSa_im = a * w_re + b * w_im
+        t1_re = vnr * ir + vni * ii
+        t1_im = vni * ir - vnr * ii
+        u_re = Yre3 * vnr[None, :, :] - Yim3 * vni[None, :, :]
+        u_im = Yre3 * vni[None, :, :] + Yim3 * vnr[None, :, :]
+        dSm_re = eye * t1_re[:, None, :] + (a * u_re + b * u_im)
+        dSm_im = eye * t1_im[:, None, :] + (b * u_re - a * u_im)
+        top = jnp.concatenate([dSa_re[1:, 1:], dSm_re[1:, 1:]], axis=1)
+        bot = jnp.concatenate([dSa_im[1:, 1:], dSm_im[1:, 1:]], axis=1)
+        return jnp.concatenate([top, bot], axis=0)  # [2m, 2m, TB]
+
+    def solve(J, F):
+        nn = 2 * m
+        Ab = jnp.concatenate([J, F[:, None, :]], axis=1)  # [nn, nn+1, TB]
+        rr = jax.lax.broadcasted_iota(jnp.int32, (nn, TB), 0)
+        # Mosaic has no scatter: static row writes become where() with a
+        # row-index mask.
+        for k in range(nn):
+            is_k = (rr == k)[:, None, :]
+            col = jnp.abs(Ab[:, k, :])
+            col = jnp.where(rr >= k, col, -jnp.inf)
+            piv = jnp.argmax(col, axis=0)  # [TB]
+            onehot = (rr == piv[None, :]).astype(fdt)  # [nn, TB]
+            row_piv = jnp.sum(onehot[:, None, :] * Ab, axis=0)  # [nn+1, TB]
+            row_k = Ab[k]
+            Ab = jnp.where(onehot[:, None, :] > 0, row_k[None, :, :], Ab)
+            Ab = jnp.where(is_k, row_piv[None, :, :], Ab)
+            pivot = Ab[k, k, :]
+            factor = Ab[:, k, :] / pivot[None, :]
+            mask = (rr > k)[:, None, :]
+            Ab = Ab - jnp.where(mask, factor[:, None, :] * Ab[k][None, :, :], 0.0)
+        x = jnp.zeros((nn, TB), fdt)
+        for k in range(nn - 1, -1, -1):
+            acc = jnp.sum(Ab[k, k + 1 : nn, :] * x[k + 1 : nn, :], axis=0) if k + 1 < nn else 0.0
+            val = (Ab[k, nn, :] - acc) / Ab[k, k, :]
+            x = jnp.where(rr == k, val[None, :], x)
+        return x
+
+    theta0 = jnp.zeros((m, TB), fdt)
+    vm0 = jnp.ones((m, TB), fdt)
+    vr0, vi0 = construct_v(theta0, vm0)
+    ir0, ii0 = yv(vr0, vi0)
+    F0 = mismatch(vr0, vi0, ir0, ii0)
+    diff0 = jnp.max(jnp.abs(F0), axis=0)  # [TB]
+
+    def body(_, carry):
+        theta, vm, F, diff, it, ir, ii = carry
+        active = diff > x_tol  # NaN freezes the lane
+        vr, vi = construct_v(theta, vm)
+        J = jacobian(vr, vi, ir, ii)
+        dx = solve(J, F)
+        theta_n = theta - dx[:m]
+        vm_n = vm - dx[m:]
+        vr_n, vi_n = construct_v(theta_n, vm_n)
+        ir_n, ii_n = yv(vr_n, vi_n)
+        F_n = mismatch(vr_n, vi_n, ir_n, ii_n)
+        d_n = jnp.max(jnp.abs(F_n), axis=0)
+        am = active[None, :]
+        theta = jnp.where(am, theta_n, theta)
+        vm = jnp.where(am, vm_n, vm)
+        F = jnp.where(am, F_n, F)
+        ir = jnp.where(am, ir_n, ir)
+        ii = jnp.where(am, ii_n, ii)
+        diff = jnp.where(active, d_n, diff)
+        it = it + active.astype(jnp.int32)
+        return theta, vm, F, diff, it, ir, ii
+
+    it0 = jnp.zeros((TB,), jnp.int32)
+    theta, vm, F, diff, it, _, _ = lax.fori_loop(
+        0, max_iter, body, (theta0, vm0, F0, diff0, it0, ir0, ii0)
+    )
+    vr, vi = construct_v(theta, vm)
+    vr_ref[:] = vr
+    vi_ref[:] = vi
+    diff_ref[:] = diff[None, :]
+    it_ref[:] = it[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("x_tol", "max_iter", "tile"))
+def solve_pfe_pallas(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=10, tile=DEFAULT_TILE):
+    """Batched NR solve via the fused VMEM kernel.
+
+    p, q: [B, m] float32 with B a multiple of ``tile``.  Returns
+    (v_re [B, n], v_im [B, n], diff [B], n_iter [B], converged [B]).
+    """
+    B, m = p.shape
+    n = m + 1
+    assert B % tile == 0, f"batch {B} must be a multiple of the lane tile {tile}"
+    pT = p.T  # [m, B]
+    qT = q.T
+
+    grid = (B // tile,)
+    kernel = functools.partial(_nr_tile_kernel, n=n, x_tol=x_tol, max_iter=max_iter)
+    vr, vi, diff, it = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, B), p.dtype),
+            jax.ShapeDtypeStruct((n, B), p.dtype),
+            jax.ShapeDtypeStruct((1, B), p.dtype),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+    )(Y_re.astype(p.dtype), Y_im.astype(p.dtype), pT, qT)
+    diff = diff[0]
+    converged = diff <= x_tol
+    return vr.T, vi.T, diff, it[0], converged

@@ -104,22 +104,20 @@ def _yv(Y_re, Y_im, v_re, v_im):
     return i_re, i_im
 
 
-def _mismatch(v_re, v_im, Y_re, Y_im, p, q):
-    """F = concat(Re, Im) of (V (Y V)^*)[1:] - (p + jq); all [*, B]."""
-    i_re, i_im = _yv(Y_re, Y_im, v_re, v_im)
+def _mismatch(v_re, v_im, i_re, i_im, p, q):
+    """F = concat(Re, Im) of (V conj(I))[1:] - (p + jq) with I = YV; all [*, B]."""
     s_re = v_re * i_re + v_im * i_im
     s_im = v_im * i_re - v_re * i_im
     return jnp.concatenate([s_re[1:] - p, s_im[1:] - q])
 
 
-def _jacobian(v_re, v_im, Y_re, Y_im):
+def _jacobian(v_re, v_im, i_re, i_im, Y_re, Y_im):
     """J [2m, 2m, B] from the polar blocks (solve_load_flow.py:123-164).
 
     dS_dVa[i,k] = 1j * v_i * conj(delta_ik (Yv)_i - Y_ik v_k)
     dS_dVm[i,k] = delta_ik (v/|v|)_i conj((Yv)_i) + v_i conj(Y_ik (v/|v|)_k)
     """
     n = v_re.shape[0]
-    i_re, i_im = _yv(Y_re, Y_im, v_re, v_im)
     vmag = jnp.sqrt(v_re * v_re + v_im * v_im)
     vn_re, vn_im = v_re / vmag, v_im / vmag
     eye = jnp.eye(n, dtype=v_re.dtype)[:, :, None]  # [n, n, 1]
@@ -184,51 +182,64 @@ def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan"):
     theta0 = jnp.zeros((m, B), dtype=dt)
     vm0 = jnp.ones((m, B), dtype=dt)
     vr0, vi0 = _construct_v(theta0, vm0)
-    F0 = _mismatch(vr0, vi0, Y_re, Y_im, pT, qT)
+    ivr0, ivi0 = _yv(Y_re, Y_im, vr0, vi0)
+    F0 = _mismatch(vr0, vi0, ivr0, ivi0, pT, qT)
     diff0 = jnp.max(jnp.abs(F0), axis=0)  # [B]
 
-    def nr_update(theta, vm, F):
+    # The current I = YV is carried between iterations: the Jacobian of
+    # iteration k and the mismatch of iteration k-1 share it, halving the
+    # per-iteration matmul count.
+    def nr_update(theta, vm, F, ivr, ivi):
         vr, vi = _construct_v(theta, vm)
-        J = _jacobian(vr, vi, Y_re, Y_im)
+        J = _jacobian(vr, vi, ivr, ivi, Y_re, Y_im)
         dx = solve_ge_lanes(J, F)
         theta_n = theta - dx[:m]
         vm_n = vm - dx[m:]
         vr, vi = _construct_v(theta_n, vm_n)
-        F_n = _mismatch(vr, vi, Y_re, Y_im, pT, qT)
-        return theta_n, vm_n, F_n, jnp.max(jnp.abs(F_n), axis=0)
+        ivr_n, ivi_n = _yv(Y_re, Y_im, vr, vi)
+        F_n = _mismatch(vr, vi, ivr_n, ivi_n, pT, qT)
+        return theta_n, vm_n, F_n, jnp.max(jnp.abs(F_n), axis=0), ivr_n, ivi_n
 
     if method == "while":
         # Early-exit loop; exits when every lane has converged/diverged.
         def cond(c):
-            _, _, _, diff, it = c
+            _, _, _, diff, it, _, _ = c
             return jnp.any((diff > x_tol) & (it < max_iter))
 
         def body(c):
-            theta, vm, F, diff, it = c
+            theta, vm, F, diff, it, ivr, ivi = c
             active = (diff > x_tol) & (it < max_iter)
-            t_n, v_n, F_n, d_n = nr_update(theta, vm, F)
+            t_n, v_n, F_n, d_n, ivr_n, ivi_n = nr_update(theta, vm, F, ivr, ivi)
             theta = jnp.where(active[None, :], t_n, theta)
             vm = jnp.where(active[None, :], v_n, vm)
             F = jnp.where(active[None, :], F_n, F)
             diff = jnp.where(active, d_n, diff)
-            return theta, vm, F, diff, it + active.astype(jnp.int32)
+            ivr = jnp.where(active[None, :], ivr_n, ivr)
+            ivi = jnp.where(active[None, :], ivi_n, ivi)
+            return theta, vm, F, diff, it + active.astype(jnp.int32), ivr, ivi
 
         it0 = jnp.zeros((B,), dtype=jnp.int32)
-        theta, vm, _, diff, n_iter = lax.while_loop(cond, body, (theta0, vm0, F0, diff0, it0))
+        theta, vm, _, diff, n_iter, _, _ = lax.while_loop(
+            cond, body, (theta0, vm0, F0, diff0, it0, ivr0, ivi0)
+        )
     else:
 
         def body(c, _):
-            theta, vm, F, diff, it = c
+            theta, vm, F, diff, it, ivr, ivi = c
             active = diff > x_tol  # NaN freezes the lane, like the while-cond
-            t_n, v_n, F_n, d_n = nr_update(theta, vm, F)
+            t_n, v_n, F_n, d_n, ivr_n, ivi_n = nr_update(theta, vm, F, ivr, ivi)
             theta = jnp.where(active[None, :], t_n, theta)
             vm = jnp.where(active[None, :], v_n, vm)
             F = jnp.where(active[None, :], F_n, F)
             diff = jnp.where(active, d_n, diff)
-            return (theta, vm, F, diff, it + active.astype(jnp.int32)), None
+            ivr = jnp.where(active[None, :], ivr_n, ivr)
+            ivi = jnp.where(active[None, :], ivi_n, ivi)
+            return (theta, vm, F, diff, it + active.astype(jnp.int32), ivr, ivi), None
 
         it0 = jnp.zeros((B,), dtype=jnp.int32)
-        (theta, vm, _, diff, n_iter), _ = lax.scan(body, (theta0, vm0, F0, diff0, it0), None, length=max_iter)
+        (theta, vm, _, diff, n_iter, _, _), _ = lax.scan(
+            body, (theta0, vm0, F0, diff0, it0, ivr0, ivi0), None, length=max_iter
+        )
 
     v_re, v_im = _construct_v(theta, vm)
     converged = diff <= x_tol

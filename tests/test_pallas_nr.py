@@ -1,0 +1,50 @@
+"""Fused Pallas NR kernel vs the XLA scan solver (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from gym_anm_tpu.core.grid import build_grid
+from gym_anm_tpu.envs.anm6.network import network
+from gym_anm_tpu.ops.pallas_nr import solve_pfe_pallas
+from gym_anm_tpu.ops.power_flow import solve_pfe
+
+
+def test_pallas_kernel_matches_scan_solver():
+    spec, _ = build_grid(network, 0.25, 100, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    B = 256
+    p = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 5)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-0.2, 0.2, (B, 5)).astype(np.float32))
+
+    vr_s, vi_s, d_s, it_s, c_s = solve_pfe(spec.Y_re, spec.Y_im, p, q, max_iter=10)
+    with pltpu.force_tpu_interpret_mode():
+        vr_p, vi_p, d_p, it_p, c_p = solve_pfe_pallas(
+            spec.Y_re, spec.Y_im, p, q, max_iter=10, tile=128
+        )
+
+    np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_p))
+    np.testing.assert_array_equal(np.asarray(it_s), np.asarray(it_p))
+    np.testing.assert_allclose(np.asarray(vr_p), np.asarray(vr_s), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(vi_p), np.asarray(vi_s), atol=2e-6)
+
+
+def test_transition_pallas_dispatch_falls_back():
+    """pf_method='pallas' falls back to scan for unbatched / non-f32 /
+    non-aligned inputs (no crash, same results)."""
+    from gym_anm_tpu.core.transition import transition
+
+    spec, _ = build_grid(network, 0.25, 100, dtype=np.float64)
+    args = dict(
+        des_soc=jnp.asarray([0.5]),
+        P_load=jnp.asarray([-0.02, -0.05, -0.1]),
+        P_pot=jnp.asarray([0.25, 0.4]),
+        P_set_gen=jnp.asarray([0.2, 0.3]),
+        Q_set_gen=jnp.asarray([0.05, -0.1]),
+        P_set_des=jnp.asarray([0.1]),
+        Q_set_des=jnp.asarray([0.0]),
+    )
+    r1 = transition(spec, **args, pf_method="pallas")
+    r2 = transition(spec, **args, pf_method="scan")
+    np.testing.assert_allclose(float(r1.reward), float(r2.reward), rtol=1e-12)
