@@ -44,11 +44,15 @@ from .transition import sim_reset, transition
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class EnvState:
-    """Per-environment dynamic state."""
+    """Per-environment dynamic state.
+
+    ``state_vec`` caches the canonical state vector s_t (computed once per
+    step; zeros in the absorbing state)."""
 
     sim: SimState
     aux: jax.Array  # [K]
     terminated: jax.Array  # [] bool
+    state_vec: jax.Array  # [state_n]
 
 
 class StepOut(NamedTuple):
@@ -103,6 +107,7 @@ class EnvCore:
         x_tol: float = 1e-5,
         max_iter: int = 100,
         pf_method: str = "scan",
+        stochastic_vars: bool = True,
     ):
         self.spec = spec
         self.K = int(K)
@@ -117,6 +122,9 @@ class EnvCore:
         self.x_tol = x_tol
         self.max_iter = max_iter
         self.pf_method = pf_method
+        # False => next_vars_fn ignores its PRNG key (deterministic process),
+        # letting the batched path skip per-lane key splitting.
+        self.stochastic_vars = stochastic_vars
 
         self.state_values = state_values_spec(spec, self.K)
         self.state_gather: GatherSpec = compile_gather(spec, self.state_values, self.K, aux_bounds)
@@ -157,9 +165,12 @@ class EnvCore:
 
     # ------------------------------------------------------------------
     def state_vec(self, es: EnvState) -> jax.Array:
-        """The canonical state vector s_t (zeros in the absorbing state)."""
-        vec = self.state_gather(pack_observables(self.spec, es.sim, es.aux))
-        return jnp.where(_bmask(es.terminated, vec), jnp.zeros_like(vec), vec)
+        """The canonical state vector s_t (cached on the EnvState)."""
+        return es.state_vec
+
+    def _compute_state_vec(self, sim, aux, terminated) -> jax.Array:
+        vec = self.state_gather(pack_observables(self.spec, sim, aux))
+        return jnp.where(_bmask(terminated, vec), jnp.zeros_like(vec), vec)
 
     def observation(self, es: EnvState) -> jax.Array:
         """o_t = clip(extract(s_t)) (anm_env.py:313-331), zeros if terminal."""
@@ -218,7 +229,12 @@ class EnvCore:
         zero = zeros_state(spec)
         sim_new = _select(term, zero, res.state)
         aux_out = jnp.where(_bmask(term, aux_new), jnp.zeros_like(aux_new), aux_new)
-        es_new = EnvState(sim=sim_new, aux=aux_out, terminated=term)
+        es_new = EnvState(
+            sim=sim_new,
+            aux=aux_out,
+            terminated=term,
+            state_vec=self._compute_state_vec(sim_new, aux_out, term),
+        )
 
         r = jnp.where(prev, 0.0, r)
         e_out = jnp.where(term, jnp.asarray(c1, spec.dtype), e_c)
@@ -253,7 +269,13 @@ class EnvCore:
             )
         sim = sim_reset(spec, s0, x_tol=self.x_tol, max_iter=self.max_iter, pf_method=self.pf_method)
         aux = s0[..., 2 * spec.n_dev + spec.n_des + spec.n_gen :]
-        return EnvState(sim=sim, aux=aux, terminated=jnp.zeros(s0.shape[:-1], dtype=bool))
+        terminated = jnp.zeros(s0.shape[:-1], dtype=bool)
+        return EnvState(
+            sim=sim,
+            aux=aux,
+            terminated=terminated,
+            state_vec=self._compute_state_vec(sim, aux, terminated),
+        )
 
     def reset(self, key, batch_shape=(), attempts: int = 10) -> tuple[EnvState, ResetOut]:
         """Rejection-sample initial states until the load flow converges.

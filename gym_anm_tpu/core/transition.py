@@ -33,10 +33,11 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..ops.power_flow import cmul, solve_pfe
-from ..ops.projection import project_polytope
+from ..ops.projection import project_polytope_lanes
 from .grid import GridSpec, POLY_ROW_P_CAP, POLY_ROW_P_FLOOR
 from .state import SimState
 
@@ -99,16 +100,24 @@ def _map_set_points(spec: GridSpec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen
         jnp.where(rows == POLY_ROW_P_FLOOR, charge_cap[..., :, None], spec.des_h0),
     )
 
-    # One batched exact projection for all controllable devices.
-    points = jnp.concatenate(
-        [jnp.stack([P_set_gen, Q_set_gen], axis=-1), jnp.stack([P_set_des, Q_set_des], axis=-1)], axis=-2
-    )
-    h = jnp.concatenate([gen_h, des_h], axis=-2)
-    G = jnp.concatenate([jnp.asarray(spec.gen_G), jnp.asarray(spec.des_G)], axis=0)
-    G = jnp.broadcast_to(G, h.shape + (2,))
-    proj = project_polytope(points.astype(dt), G, h)
-    gen_p, gen_q = proj[..., : spec.n_gen, 0], proj[..., : spec.n_gen, 1]
-    des_p, des_q = proj[..., spec.n_gen :, 0], proj[..., spec.n_gen :, 1]
+    # One batched exact projection for all controllable devices, on the
+    # lane-major hot path (static normals, batch innermost).
+    C = spec.n_gen + spec.n_des
+    h = jnp.concatenate([gen_h, des_h], axis=-2)  # [..., C, m]
+    m = h.shape[-1]
+    G_static = np.concatenate([np.asarray(spec.gen_G), np.asarray(spec.des_G)], axis=0)
+    p_pts = jnp.concatenate([P_set_gen, P_set_des], axis=-1).astype(dt)  # [..., C]
+    q_pts = jnp.concatenate([Q_set_gen, Q_set_des], axis=-1).astype(dt)
+    bs = h.shape[:-2]
+    B = int(np.prod(bs)) if bs else 1
+    px = jnp.moveaxis(p_pts.reshape((B, C)), 0, -1)  # [C, B]
+    py = jnp.moveaxis(q_pts.reshape((B, C)), 0, -1)
+    hL = jnp.moveaxis(h.reshape((B, C, m)), 0, -1)  # [C, m, B]
+    x, y = project_polytope_lanes(px, py, G_static, hL)
+    proj_p = jnp.moveaxis(x, -1, 0).reshape(bs + (C,))
+    proj_q = jnp.moveaxis(y, -1, 0).reshape(bs + (C,))
+    gen_p, gen_q = proj_p[..., : spec.n_gen], proj_q[..., : spec.n_gen]
+    des_p, des_q = proj_p[..., spec.n_gen :], proj_q[..., spec.n_gen :]
 
     # SoC update with round-trip efficiency asymmetry + clip (devices.py:524-545).
     new_soc = jnp.where(
@@ -119,16 +128,21 @@ def _map_set_points(spec: GridSpec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen
     new_soc = jnp.clip(new_soc, spec.des_soc_min, spec.des_soc_max)
 
     # Assemble full device injection vectors (slack initialized to 0,
-    # simulator.py:520-523).
+    # simulator.py:520-523) via a static permutation gather -- XLA scatters
+    # are slow on TPU, a fixed-index gather is a relayout.
     bs = jnp.broadcast_shapes(load_p.shape[:-1], gen_p.shape[:-1], des_p.shape[:-1])
-    dev_p = jnp.zeros(bs + (spec.n_dev,), dtype=dt)
-    dev_q = jnp.zeros(bs + (spec.n_dev,), dtype=dt)
-    dev_p = (
-        dev_p.at[..., spec.load_pos].set(load_p).at[..., spec.gen_pos].set(gen_p).at[..., spec.des_pos].set(des_p)
+    concat_order = np.concatenate(
+        [[int(spec.slack_pos)], np.asarray(spec.load_pos), np.asarray(spec.gen_pos), np.asarray(spec.des_pos)]
     )
-    dev_q = (
-        dev_q.at[..., spec.load_pos].set(load_q).at[..., spec.gen_pos].set(gen_q).at[..., spec.des_pos].set(des_q)
-    )
+    perm = np.empty(spec.n_dev, dtype=np.int32)
+    perm[concat_order] = np.arange(spec.n_dev)
+    zero_slack = jnp.zeros(bs + (1,), dtype=dt)
+    dev_p = jnp.concatenate(
+        [zero_slack, jnp.broadcast_to(load_p, bs + (spec.n_load,)), gen_p, des_p], axis=-1
+    )[..., perm]
+    dev_q = jnp.concatenate(
+        [zero_slack, jnp.broadcast_to(load_q, bs + (spec.n_load,)), gen_q, des_q], axis=-1
+    )[..., perm]
     return dev_p, dev_q, new_soc, p_pot
 
 
@@ -215,10 +229,13 @@ def transition(
     i_im = jnp.einsum("nk,...k->...n", spec.Y_re, v_im) + jnp.einsum("nk,...k->...n", spec.Y_im, v_re)
     p0 = jnp.where(jnp.isnan(i_re[..., 0]), jnp.inf, i_re[..., 0])
     q0 = jnp.where(jnp.isnan(i_im[..., 0]), jnp.inf, -i_im[..., 0])
-    bus_p = bus_p.at[..., 0].set(p0)
-    bus_q = bus_q.at[..., 0].set(q0)
-    dev_p = dev_p.at[..., spec.slack_pos].set(p0)
-    dev_q = dev_q.at[..., spec.slack_pos].set(q0)
+    # Masked writes instead of scatters (static one-hot masks).
+    bus0 = np.arange(spec.n_bus) == 0
+    devs = np.arange(spec.n_dev) == int(spec.slack_pos)
+    bus_p = jnp.where(bus0, p0[..., None], bus_p)
+    bus_q = jnp.where(bus0, q0[..., None], bus_q)
+    dev_p = jnp.where(devs, p0[..., None], dev_p)
+    dev_q = jnp.where(devs, q0[..., None], dev_q)
 
     if_re, if_im, it_re, it_im, p_from, q_from, p_to, q_to, s_max = compute_branch_flows(spec, v_re, v_im)
 

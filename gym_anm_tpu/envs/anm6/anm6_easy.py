@@ -175,6 +175,7 @@ def make_core(dtype=None, pf_max_iter=10, pf_method="scan"):
         next_vars_fn=lambda s, key: anm6easy_next_vars(s, P_loads, P_maxs),
         max_iter=pf_max_iter,
         pf_method=pf_method,
+        stochastic_vars=False,  # deterministic table lookup by time-of-day
     )
 
 

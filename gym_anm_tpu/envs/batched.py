@@ -74,8 +74,12 @@ class BatchedEnv:
         core = self.core
         B = self.batch_size
         k_vars, k_reset = jax.random.split(key)
-        vars_keys = jax.random.split(k_vars, B)
-        vars = jax.vmap(core.next_vars_fn)(core.state_vec(es), vars_keys)
+        if core.stochastic_vars:
+            vars_keys = jax.random.split(k_vars, B)
+            vars = jax.vmap(core.next_vars_fn)(core.state_vec(es), vars_keys)
+        else:
+            # Deterministic process: no per-lane keys needed.
+            vars = jax.vmap(core.next_vars_fn, in_axes=(0, None))(core.state_vec(es), k_vars)
         es_new, out = core.step(es, actions, vars)
         if not self.auto_reset:
             return es_new, out
