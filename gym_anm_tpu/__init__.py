@@ -22,6 +22,11 @@ register(
     entry_point="gym_anm_tpu.envs:ANM6Easy",
 )
 
+register(
+    id="ANMFeeder33-v0",
+    entry_point="gym_anm_tpu.envs.feeder33:Feeder33Env",
+)
+
 __all__ = [
     "ANMEnv",
     "ANM6",

@@ -200,19 +200,27 @@ def transition(
     bus_p = jnp.einsum("nd,...d->...n", spec.inc_bus_dev, dev_p)
     bus_q = jnp.einsum("nd,...d->...n", spec.inc_bus_dev, dev_q)
 
-    # Newton-Raphson load flow; slack bus is internal index 0.
+    # Newton-Raphson load flow; slack bus is internal index 0.  The fused
+    # Pallas kernel handles aligned f32 batches on TPU; everything else
+    # falls back to the XLA scan/while solver (identical semantics).
+    import jax
+
     p_in, q_in = bus_p[..., 1:], bus_q[..., 1:]
+    m2 = 2 * (spec.n_bus - 1)
+    # VMEM budget: keep the [2m, 2m+1, tile] elimination buffer under ~4 MB.
+    tile_budget = [t for t in (512, 256, 128) if m2 * (m2 + 1) * t * 4 <= 4 * 2**20]
     use_pallas = (
         pf_method == "pallas"
+        and jax.default_backend() == "tpu"
         and p_in.ndim == 2
         and p_in.dtype == jnp.float32
-        and p_in.shape[0] % 128 == 0
+        and any(p_in.shape[0] % t == 0 for t in tile_budget)
     )
     if use_pallas:
         from ..ops.pallas_nr import solve_pfe_pallas
 
         B = p_in.shape[0]
-        tile = next(t for t in (512, 256, 128) if B % t == 0)
+        tile = next(t for t in tile_budget if B % t == 0)
         v_re, v_im, _, _, converged = solve_pfe_pallas(
             spec.Y_re, spec.Y_im, p_in, q_in, x_tol=x_tol, max_iter=max_iter, tile=tile
         )

@@ -142,7 +142,7 @@ class ANM6Easy(ANM6):
         return anm6easy_next_vars(s_t, self._P_loads_j, self._P_maxs_j)
 
 
-def make_core(dtype=None, pf_max_iter=10, pf_method="scan"):
+def make_core(dtype=None, pf_max_iter=10, pf_method="pallas"):
     """Build the pure-functional ANM6Easy :class:`EnvCore` (no Gymnasium
     adapter, no host hooks) -- the batched/vmapped fast path used by
     :class:`gym_anm_tpu.envs.batched.BatchedEnv` and the benchmarks.

@@ -131,7 +131,7 @@ def _daily_factor(t):
     return 0.75 + 0.25 * np.sin(2 * np.pi * (np.asarray(t, dtype=float) / 96.0 - 0.3))
 
 
-def make_core(dtype=None, pf_max_iter=15, pf_method="scan"):
+def make_core(dtype=None, pf_max_iter=15, pf_method="pallas"):
     """Pure-functional EnvCore for the feeder (batched fast path)."""
     from ..core.env_core import EnvCore
     from ..core.grid import build_grid
