@@ -27,10 +27,15 @@ def main():
     ap.add_argument("--iters", type=int, default=10, help="timed program calls")
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--pf", default="pallas", choices=["pallas", "scan"], help="NR solver path")
+    ap.add_argument("--env", default="anm6easy", choices=["anm6easy", "feeder33"])
     args = ap.parse_args()
 
-    from gym_anm_tpu.envs.anm6.anm6_easy import make_core
     from gym_anm_tpu.envs.batched import BatchedEnv
+
+    if args.env == "feeder33":
+        from gym_anm_tpu.envs.feeder33 import make_core
+    else:
+        from gym_anm_tpu.envs.anm6.anm6_easy import make_core
 
     core = make_core(pf_method=args.pf)
     env = BatchedEnv(core, batch_size=args.batch)

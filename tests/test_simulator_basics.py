@@ -1,0 +1,116 @@
+"""Simulator construction + pieces (ports tests/simulator/test_simulator_basics.py):
+load-case counts/ordering, bus bounds aggregation, action/rendering spec
+dicts, randomized bus injections, closed-form reward."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import gym_anm_tpu
+from gym_anm_tpu.core.grid import build_grid
+from gym_anm_tpu.core.transition import transition
+from gym_anm_tpu.envs.anm6.network import network as anm6_network
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return gym_anm_tpu.Simulator(anm6_network, delta_t=0.25, lamb=100)
+
+
+def test_load_case_counts_and_ordering(sim):
+    assert sim.N_bus == 6 and sim.N_device == 7
+    assert sim.N_load == 3 and sim.N_non_slack_gen == 2
+    assert sim.N_des == 1 and sim.N_gen_rer == 2
+    assert list(sim.buses.keys()) == [0, 1, 2, 3, 4, 5]
+    assert list(sim.devices.keys()) == [0, 1, 2, 3, 4, 5, 6]
+    assert list(sim.branches.keys()) == [(0, 1), (1, 2), (1, 3), (2, 4), (2, 5)]
+    assert sim.devices[0].is_slack and sim.devices[0].type == 0
+    assert sim.devices[6].type == 3 and sim.devices[6].eff == 0.9
+
+
+def test_bus_bounds_aggregate_device_bounds(sim):
+    # Bus 3 hosts load 1 (PMIN=-10) and PV 2 (PMAX=30, QMAX=30, QMIN=-30).
+    b = sim.buses[3]
+    np.testing.assert_allclose(b.p_min, (-10 / 100) + 0.0)
+    np.testing.assert_allclose(b.p_max, 0.0 + 30 / 100)
+    np.testing.assert_allclose(b.q_min, (-10 / 100) * 0.2 + (-30 / 100))
+    np.testing.assert_allclose(b.q_max, 0.0 + 30 / 100)
+
+
+def test_action_space_dicts(sim):
+    P_gen, Q_gen, P_des, Q_des = sim.get_action_space()
+    assert set(P_gen) == {2, 4} and set(P_des) == {6}
+    np.testing.assert_allclose(P_gen[2], (0.0, 30.0))
+    np.testing.assert_allclose(Q_gen[4], (-50.0, 50.0))
+    np.testing.assert_allclose(P_des[6], (-50.0, 50.0))
+
+
+def test_rendering_specs_structure(sim):
+    specs = sim.get_rendering_specs()
+    assert set(specs) == {"bus_p", "bus_q", "dev_p", "dev_q", "bus_v", "dev_type", "des_soc", "branch_s"}
+    np.testing.assert_allclose(specs["branch_s"][(0, 1)]["MVA"], (0, 32.0))
+    np.testing.assert_allclose(specs["bus_v"][1]["pu"], (0.9, 1.1))
+    assert specs["dev_type"] == {0: 0, 1: -1, 2: 2, 3: -1, 4: 2, 5: -1, 6: 3}
+
+
+def test_bus_total_injections_randomized(sim):
+    """Bus P/Q = sum of device injections at the bus (simulator.py:539-549)."""
+    rng = np.random.default_rng(8)
+    spec = sim.spec
+    for _ in range(10):
+        res = transition(
+            spec,
+            des_soc=jnp.asarray([0.5]),
+            P_load=jnp.asarray(rng.uniform(-0.1, 0, 3)),
+            P_pot=jnp.asarray(rng.uniform(0, 0.3, 2)),
+            P_set_gen=jnp.asarray(rng.uniform(0, 0.3, 2)),
+            Q_set_gen=jnp.asarray(rng.uniform(-0.2, 0.2, 2)),
+            P_set_des=jnp.asarray(rng.uniform(-0.3, 0.3, 1)),
+            Q_set_des=jnp.asarray(rng.uniform(-0.2, 0.2, 1)),
+        )
+        st = res.state
+        dev_p = np.asarray(st.dev_p)
+        dev_bus = np.asarray(spec.dev_bus)
+        for b in range(6):
+            expect = dev_p[dev_bus == b].sum()
+            np.testing.assert_allclose(np.asarray(st.bus_p)[b], expect, atol=1e-6)
+
+
+def test_reward_closed_form(sim):
+    """Reward = -(delta_t * (sum gen/load P + curtailment)
+    + delta_t * lamb * (V violations + branch overflows))
+    (simulator.py:638-683), recomputed by hand from the state."""
+    spec = sim.spec
+    res = transition(
+        spec,
+        des_soc=jnp.asarray([0.3]),
+        P_load=jnp.asarray([-0.05, -0.2, -0.25]),
+        P_pot=jnp.asarray([0.25, 0.45]),
+        P_set_gen=jnp.asarray([0.3, 0.2]),  # PV requests above potential -> capped + curtailed vs pot
+        Q_set_gen=jnp.asarray([0.1, -0.1]),
+        P_set_des=jnp.asarray([0.4]),
+        Q_set_des=jnp.asarray([0.1]),
+    )
+    st = res.state
+    dev_p = np.asarray(st.dev_p)
+    p_pot = np.asarray(st.gen_p_pot)
+    # e_loss: gens (incl. slack) + loads, + curtailment of renewables.
+    e = dev_p[[0, 1, 2, 3, 4, 5]].sum()
+    e += max(0, p_pot[0] - dev_p[2]) + max(0, p_pot[1] - dev_p[4])
+    e *= 0.25
+    # penalty: V + branch violations.
+    v = np.abs(np.asarray(st.bus_v_re) + 1j * np.asarray(st.bus_v_im))
+    vmax = np.asarray(spec.bus_v_max)
+    vmin = np.asarray(spec.bus_v_min)
+    pen = np.maximum(0, v - vmax).sum() + np.maximum(0, vmin - v).sum()
+    pen += np.maximum(0, np.abs(np.asarray(st.br_s)) - np.asarray(spec.br_rate)).sum()
+    pen *= 0.25 * 100
+    np.testing.assert_allclose(float(res.e_loss), e, atol=1e-8)
+    np.testing.assert_allclose(float(res.penalty), pen, atol=1e-7)
+    np.testing.assert_allclose(float(res.reward), -(e + pen), atol=1e-7)
+
+
+def test_ybus_scipy_matches_spec(sim):
+    Y_sp = sim.Y_bus.toarray()
+    Y = np.asarray(sim.spec.Y_re) + 1j * np.asarray(sim.spec.Y_im)
+    np.testing.assert_allclose(Y_sp, Y, atol=1e-12)
