@@ -319,6 +319,31 @@ class MPCAgent:
 
         self._admm_chunk = jax.jit(admm_chunk)
 
+        def admm_chunk_batch(ls, us, x, z, y, L, rho_vec):
+            """Batched ADMM chunk: ls/us/z/y [m, B], x [n, B], shared L/rho."""
+
+            def solve_kkt(bm):
+                hm = jax.scipy.linalg.solve_triangular(L, bm, lower=True)
+                return jax.scipy.linalg.solve_triangular(L.T, hm, lower=False)
+
+            def body(carry, _):
+                x, z, y = carry
+                b = sigma * x - qj[:, None] + Aj.T @ (rho_vec[:, None] * z - y)
+                x_new = solve_kkt(b)
+                Ax = Aj @ x_new
+                z_t = alpha * Ax + (1 - alpha) * z
+                z_new = jnp.clip(z_t + y / rho_vec[:, None], ls, us)
+                y_new = y + rho_vec[:, None] * (z_t - z_new)
+                return (x_new, z_new, y_new), None
+
+            (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=iters)
+            Ax = Aj @ x
+            pri = jnp.max(jnp.abs(Ax - z), axis=0)  # [B]
+            dual = jnp.max(jnp.abs(qj[:, None] + Aj.T @ y + sigma * x), axis=0)
+            return x, z, y, pri, dual
+
+        self._admm_chunk_batch = jax.jit(admm_chunk_batch)
+
     def _factor(self, rho_vec):
         K = self._sigma * np.eye(self.nz) + (self._As.T * rho_vec) @ self._As
         return np.linalg.cholesky(K)
@@ -380,6 +405,83 @@ class MPCAgent:
         if feas and q @ x_p <= q @ x + 1e-9:
             return x_p
         return x
+
+    def _admm_batch(self, lv, uv, eps=1e-8, max_chunks=12):
+        """Batched ADMM across B problem instances sharing (A, q).
+
+        lv/uv: [B, m].  The adaptive-rho restarts use the worst lane's
+        residual ratio (the KKT factor is shared).  No per-lane polish --
+        accuracy is the ADMM tolerance (eps on scaled residuals).
+        Returns x [B, n].
+        """
+        m, n = self._As.shape
+        Bsz = lv.shape[0]
+        ls = (self._E[None, :] * lv).T  # [m, B]
+        us = (self._E[None, :] * uv).T
+        rho_vec = np.where(self._eq_rows, self._rho0 * 1e3, self._rho0)
+        L = self._factor(rho_vec)
+        x = np.zeros((n, Bsz))
+        z = np.clip(np.zeros((m, Bsz)), ls, us)
+        y = np.zeros((m, Bsz))
+        for _ in range(max_chunks):
+            x, z, y, pri, dual = (
+                np.asarray(v)
+                for v in self._admm_chunk_batch(
+                    jnp.asarray(ls), jnp.asarray(us), jnp.asarray(x), jnp.asarray(z), jnp.asarray(y),
+                    jnp.asarray(L), jnp.asarray(rho_vec),
+                )
+            )
+            if pri.max() < eps and dual.max() < eps:
+                break
+            factor = np.sqrt(max(pri.max(), 1e-16) / max(dual.max(), 1e-16))
+            factor = float(np.clip(factor, 1e-2, 1e2))
+            if 0.5 < factor < 2.0:
+                continue
+            rho_vec = np.clip(rho_vec * factor, 1e-6, 1e6)
+            L = self._factor(rho_vec)
+        return (self._D[:, None] * x).T  # [B, n]
+
+    def solve_batch(self, load_forecasts, gen_forecasts, init_socs):
+        """Solve the N-stage DC-OPF for a batch of B environment lanes.
+
+        Parameters
+        ----------
+        load_forecasts : [B, n_load, N] (p.u.)
+        gen_forecasts : [B, n_gen-1, N] (p.u.)
+        init_socs : [B, n_des] (p.u.)
+
+        Returns actions [B, action_n] in MW/MVAr (Q = 0), clipped to the
+        action space.
+        """
+        load_forecasts = np.asarray(load_forecasts, dtype=float)
+        gen_forecasts = np.asarray(gen_forecasts, dtype=float)
+        init_socs = np.asarray(init_socs, dtype=float)
+        Bsz = load_forecasts.shape[0]
+        lv = np.tile(self.l, (Bsz, 1))
+        uv = np.tile(self.u, (Bsz, 1))
+        for r, kind, s, i in self.param_rows:
+            if kind == "load_eq":
+                lv[:, r] = uv[:, r] = load_forecasts[:, i, s]
+            elif kind == "gen_cap":
+                uv[:, r] = gen_forecasts[:, i, s]
+            elif kind == "soc_init":
+                lv[:, r] = uv[:, r] = init_socs[:, i]
+
+        x = self._admm_batch(lv, uv)
+        o = self._off0
+        P = x[:, o["P"] : o["P"] + self.n_dev]
+        gp = [self.dev_id_mapping[d] for d in self.non_slack_gen_ids]
+        dp = [self.dev_id_mapping[d] for d in self.des_ids]
+        acts = np.concatenate(
+            [
+                P[:, gp] * self.baseMVA,
+                np.zeros((Bsz, len(gp))),
+                P[:, dp] * self.baseMVA,
+                np.zeros((Bsz, len(dp))),
+            ],
+            axis=1,
+        )
+        return np.clip(acts, self.action_space.low, self.action_space.high)
 
     # ------------------------------------------------------------------
     def forecast(self, env):

@@ -20,3 +20,23 @@ class MPCAgentConstant(MPCAgent):
         P_load_forecast = np.array([P_load_forecast for _ in range(self.planning_steps)]).T
         P_gen_forecast = np.array([P_gen_forecast for _ in range(self.planning_steps)]).T
         return P_load_forecast, P_gen_forecast
+
+    def act_batch(self, state_vecs):
+        """Batched policy over B environment lanes.
+
+        ``state_vecs [B, state_n]`` are canonical state vectors (as returned
+        by the batched env: [dev_p (MW), dev_q (MVAr), des_soc (MWh),
+        gen_p_max (MW), aux]); returns actions [B, action_n].
+        """
+        sv = np.asarray(state_vecs, dtype=float)
+        spec = self.spec
+        d = spec.n_dev
+        base = self.baseMVA
+        load_pos = np.asarray(spec.load_pos)
+        loads = sv[:, load_pos] / base  # [B, n_load] p.u.
+        p_pot = sv[:, 2 * d + spec.n_des : 2 * d + spec.n_des + spec.n_gen] / base
+        socs = sv[:, 2 * d : 2 * d + spec.n_des] / base
+        N = self.planning_steps
+        load_f = np.repeat(loads[:, :, None], N, axis=2)
+        gen_f = np.repeat(p_pot[:, :, None], N, axis=2)
+        return self.solve_batch(load_f, gen_f, socs)

@@ -37,7 +37,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops.power_flow import cmul, solve_pfe
-from ..ops.projection import project_polytope_lanes
+from ..ops.projection import project_polytope, project_polytope_lanes
 from .grid import GridSpec, POLY_ROW_P_CAP, POLY_ROW_P_FLOOR
 from .state import SimState
 
@@ -100,22 +100,32 @@ def _map_set_points(spec: GridSpec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen
         jnp.where(rows == POLY_ROW_P_FLOOR, charge_cap[..., :, None], spec.des_h0),
     )
 
-    # One batched exact projection for all controllable devices, on the
-    # lane-major hot path (static normals, batch innermost).
+    # One batched exact projection for all controllable devices.  On TPU
+    # use the lane-major hot path (static normals, batch innermost, one
+    # candidate at a time with a running minimum); elsewhere the vectorized
+    # candidate-tensor form compiles much faster and runtime is irrelevant.
+    import jax
+
     C = spec.n_gen + spec.n_des
     h = jnp.concatenate([gen_h, des_h], axis=-2)  # [..., C, m]
     m = h.shape[-1]
     G_static = np.concatenate([np.asarray(spec.gen_G), np.asarray(spec.des_G)], axis=0)
     p_pts = jnp.concatenate([P_set_gen, P_set_des], axis=-1).astype(dt)  # [..., C]
     q_pts = jnp.concatenate([Q_set_gen, Q_set_des], axis=-1).astype(dt)
-    bs = h.shape[:-2]
-    B = int(np.prod(bs)) if bs else 1
-    px = jnp.moveaxis(p_pts.reshape((B, C)), 0, -1)  # [C, B]
-    py = jnp.moveaxis(q_pts.reshape((B, C)), 0, -1)
-    hL = jnp.moveaxis(h.reshape((B, C, m)), 0, -1)  # [C, m, B]
-    x, y = project_polytope_lanes(px, py, G_static, hL)
-    proj_p = jnp.moveaxis(x, -1, 0).reshape(bs + (C,))
-    proj_q = jnp.moveaxis(y, -1, 0).reshape(bs + (C,))
+    if jax.default_backend() == "tpu":
+        bs = h.shape[:-2]
+        B = int(np.prod(bs)) if bs else 1
+        px = jnp.moveaxis(p_pts.reshape((B, C)), 0, -1)  # [C, B]
+        py = jnp.moveaxis(q_pts.reshape((B, C)), 0, -1)
+        hL = jnp.moveaxis(h.reshape((B, C, m)), 0, -1)  # [C, m, B]
+        x, y = project_polytope_lanes(px, py, G_static, hL)
+        proj_p = jnp.moveaxis(x, -1, 0).reshape(bs + (C,))
+        proj_q = jnp.moveaxis(y, -1, 0).reshape(bs + (C,))
+    else:
+        pts = jnp.stack([p_pts, q_pts], axis=-1)  # [..., C, 2]
+        G_b = jnp.broadcast_to(jnp.asarray(G_static, dtype=dt), h.shape + (2,))
+        proj = project_polytope(pts, G_b, h)
+        proj_p, proj_q = proj[..., 0], proj[..., 1]
     gen_p, gen_q = proj_p[..., : spec.n_gen], proj_q[..., : spec.n_gen]
     des_p, des_q = proj_p[..., spec.n_gen :], proj_q[..., spec.n_gen :]
 

@@ -104,3 +104,53 @@ def test_mpc_soc_dynamics_consistency():
     for s in range(agent.planning_steps):
         soc = sol["soc"][s]
         assert np.all(soc >= soc_min - TOL) and np.all(soc <= soc_max + TOL)
+
+
+def test_batched_mpc_matches_single_and_controls_batched_envs():
+    """solve_batch over B lanes matches the per-env ADMM+polish actions to
+    solver tolerance and keeps a batched env fleet stable."""
+    import jax
+
+    from gym_anm_tpu.envs.anm6.anm6_easy import make_core
+    from gym_anm_tpu.envs.batched import BatchedEnv
+
+    core = make_core(pf_max_iter=100)
+    B = 8
+    env = BatchedEnv(core, batch_size=B)
+    key = jax.random.PRNGKey(0)
+    es, first = env.reset(key)
+
+    # A host env for the single-path comparison + agent construction.
+    host_env = gym_anm_tpu.envs.ANM6Easy()
+    host_env.reset(seed=0)
+    agent = MPCAgentConstant(host_env.simulator, host_env.action_space, 0.995, planning_steps=3)
+
+    state_vecs = np.asarray(first.state_vec)
+    acts = agent.act_batch(state_vecs)
+    assert acts.shape == (B, core.action_n)
+
+    # Single-path oracle for one lane: feed the same forecasts through _solve.
+    spec = core.spec
+    d = spec.n_dev
+    lane = 0
+    loads = state_vecs[lane, np.asarray(spec.load_pos)] / 100.0
+    p_pot = state_vecs[lane, 2 * d + spec.n_des : 2 * d + spec.n_des + spec.n_gen] / 100.0
+    soc = state_vecs[lane, 2 * d : 2 * d + spec.n_des] / 100.0
+
+    class _FakeSim:
+        state = {"des_soc": {"pu": dict(zip(spec.des_ids, soc))}}
+
+    single = agent._solve(
+        _FakeSim,
+        np.repeat(loads[:, None], 3, axis=1),
+        np.repeat(p_pot[:, None], 3, axis=1),
+    )
+    single = np.clip(single, host_env.action_space.low, host_env.action_space.high)
+    np.testing.assert_allclose(acts[lane], single, atol=2e-2)
+
+    # Drive the batched fleet with the batched policy: no collapses, small costs.
+    for t in range(5):
+        es, out = env.step(es, acts, jax.random.fold_in(key, t))
+        assert not bool(np.asarray(out.terminated).any())
+        assert float(np.asarray(out.reward).mean()) > -5
+        acts = agent.act_batch(np.asarray(out.state_vec))
