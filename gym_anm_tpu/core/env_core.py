@@ -133,11 +133,19 @@ class EnvCore:
             self.obs_values = obs_values
             self.obs_gather: Optional[GatherSpec] = compile_gather(spec, obs_values, self.K, aux_bounds)
             self.obs_n = self.obs_gather.n
+            # Fully-observable fast path: the observation is the canonical
+            # state vector itself (same gather indices and scales), so the
+            # packed-observables machinery can be bypassed entirely.
+            self._obs_is_state = bool(
+                np.array_equal(self.obs_gather.idx, self.state_gather.idx)
+                and np.allclose(self.obs_gather.scale, self.state_gather.scale)
+            )
         else:
             self.obs_values = None
             self.obs_gather = None
             # Callable-observation mode: size probed lazily by the adapter.
             self.obs_n = None
+            self._obs_is_state = False
 
         # Action bounds [P_gen, Q_gen, P_des, Q_des] x baseMVA, each block
         # ordered by device ID (simulator.py:341-380, anm_env.py:475-495).
@@ -169,12 +177,28 @@ class EnvCore:
         return es.state_vec
 
     def _compute_state_vec(self, sim, aux, terminated) -> jax.Array:
-        vec = self.state_gather(pack_observables(self.spec, sim, aux))
+        # The canonical layout [dev_p (MW), dev_q (MVAr), des_soc (MWh),
+        # gen_p_max (MW), aux] (anm_env.py:139-147) is a direct concat of
+        # SimState fields -- no packing/gather needed.
+        base = self.spec.baseMVA
+        vec = jnp.concatenate(
+            [
+                sim.dev_p * base,
+                sim.dev_q * base,
+                sim.des_soc * base,
+                sim.gen_p_pot * base,
+                jnp.asarray(aux, dtype=self.spec.dtype),
+            ],
+            axis=-1,
+        )
         return jnp.where(_bmask(terminated, vec), jnp.zeros_like(vec), vec)
 
     def observation(self, es: EnvState) -> jax.Array:
         """o_t = clip(extract(s_t)) (anm_env.py:313-331), zeros if terminal."""
-        if self.obs_gather is not None:
+        if self.obs_gather is not None and self._obs_is_state:
+            # Fully-observable: clip the cached state vector.
+            obs = jnp.clip(es.state_vec, self.obs_gather.low, self.obs_gather.high)
+        elif self.obs_gather is not None:
             obs = self.obs_gather(pack_observables(self.spec, es.sim, es.aux), clip=True)
         elif self.obs_fn is not None:
             obs = jnp.atleast_1d(self.obs_fn(self.state_vec(es)))

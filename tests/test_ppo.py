@@ -26,3 +26,18 @@ def test_ppo_learns_on_anm6easy():
     first3 = np.mean([m["mean_reward"] for m in history[:3]])
     last3 = np.mean([m["mean_reward"] for m in history[-3:]])
     assert last3 > first3 + 10.0, (first3, last3)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import numpy as np
+
+    cfg = PPOConfig(rollout_steps=4, minibatches=2, epochs=1, hidden=(16, 16))
+    t1 = PPOTrainer(make_core(), batch_size=8, config=cfg, seed=0)
+    t1.train(1, key=jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt.pkl")
+    t1.save(path)
+
+    t2 = PPOTrainer(make_core(), batch_size=8, config=cfg, seed=1)
+    t2.load(path)
+    for a, b in zip(jax.tree.leaves(t1.params), jax.tree.leaves(t2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
