@@ -334,3 +334,207 @@ def test_projection_vs_scipy():
         )
         np.testing.assert_allclose(ours, res.x, atol=1e-6)
         assert np.sum((ours - pt) ** 2) <= np.sum((res.x - pt) ** 2) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Device-common parsing errors (tests/simulator/test_devices.py:18-37)
+# ---------------------------------------------------------------------------
+def test_device_bad_bus_id():
+    from gym_anm_tpu.errors import DeviceSpecError
+
+    for b in [None, -1, 3, 4]:
+        with pytest.raises(DeviceSpecError):
+            parse_load([2, b, -1, 0.2, 0, -10] + [None] * 9, BUS_IDS, BASE)
+
+
+def test_device_bad_type():
+    from gym_anm_tpu.errors import DeviceSpecError
+
+    for t in [None, -3, -2, 4, 5]:
+        with pytest.raises(DeviceSpecError):
+            parse_load([2, 1, t] + [None] * 12, BUS_IDS, BASE)
+
+
+def test_load_wrong_type_rejected():
+    """A slack row through the Load parser raises (test_devices.py:59-62)."""
+    with pytest.raises(LoadSpecError):
+        parse_load([2, 1, 0, 0.2, 0, -10] + [None] * 9, BUS_IDS, BASE)
+
+
+# ---------------------------------------------------------------------------
+# Default P/Q values (test_devices.py:165-191, 354-385)
+# ---------------------------------------------------------------------------
+def test_generator_default_p_values():
+    g = parse_generator([2, 1, 1, None, None, 1, 10, 1] + [None] * 7, BUS_IDS, BASE)
+    assert g.p_max == np.inf
+    g = parse_generator([2, 1, 1, None, 0, 0, 10, 1] + [None] * 7, BUS_IDS, BASE)
+    assert g.p_max == 0
+    g = parse_generator([2, 1, 1, None, 10, None, 10, 1] + [None] * 7, BUS_IDS, BASE)
+    assert g.p_min == 0
+
+
+def test_generator_default_q_values():
+    g = parse_generator([2, 1, 1, None, 10, 1, None, 1] + [None] * 7, BUS_IDS, BASE)
+    assert g.q_max == np.inf
+    g = parse_generator([2, 1, 1, None, 10, 1, 10, None] + [None] * 7, BUS_IDS, BASE)
+    assert g.q_min == -np.inf
+
+
+def test_generator_flex_defaults():
+    """P+/Q+/Q- default to the box bounds; P- is ignored (test_devices.py:192-233)."""
+    g = parse_generator([2, 1, 1, None, 10, 1, 10, 1] + [None] * 7, BUS_IDS, BASE)
+    assert g.p_plus == 10 / BASE
+    for p_minus in [None, 0, -1, 1]:
+        g = parse_generator([2, 1, 1, None, 10, 1, 10, 1, None, p_minus] + [None] * 5, BUS_IDS, BASE)
+        assert g.p_minus is None
+    g = parse_generator([2, 1, 1, None, 10, 1, 15, 1] + [None] * 7, BUS_IDS, BASE)
+    assert g.q_plus == 15 / BASE and g.q_minus == 1 / BASE
+
+
+def test_storage_default_pq_values():
+    g = parse_storage([2, 1, 3, None, None, -12, 20, -30, None, -6, 10, -15, 100, 10, 0.9], BUS_IDS, BASE)
+    assert g.p_max == np.inf
+    g = parse_storage([2, 1, 3, None, 10, None, 20, -30, 5, -6, 10, -15, 100, 10, 0.9], BUS_IDS, BASE)
+    assert g.p_min == -np.inf
+    g = parse_storage([2, 1, 3, None, 10, -12, None, -30, 5, -6, None, -15, 100, 10, 0.9], BUS_IDS, BASE)
+    assert g.q_max == np.inf
+    g = parse_storage([2, 1, 3, None, 10, -12, 20, None, 5, -6, 10, None, 100, 10, 0.9], BUS_IDS, BASE)
+    assert g.q_min == -np.inf
+    g = parse_storage([2, 1, 3, None, 10, -12, 20, -30, None, -6, 10, -15, 100, 10, 0.9], BUS_IDS, BASE)
+    assert g.p_plus == 10 / BASE
+
+
+def test_storage_infeasible_pq_flex(row_base=None):
+    for p_plus in [-15, 25]:
+        with pytest.raises(StorageSpecError):
+            parse_storage([2, 1, 3, None, 10, -12, 20, -30, p_plus, -6, 10, -15, 100, 10, 0.9], BUS_IDS, BASE)
+    # q_minus > q_plus
+    with pytest.raises(StorageSpecError):
+        parse_storage([2, 1, 3, None, 10, -12, 20, -30, 5, -6, 1, 2, 100, 10, 0.9], BUS_IDS, BASE)
+
+
+# ---------------------------------------------------------------------------
+# map_pq / update_soc through the functional transition pipeline
+# ---------------------------------------------------------------------------
+def _storage_only_spec(des_row, delta_t=1.0):
+    from gym_anm_tpu.core.grid import build_grid
+
+    net = {
+        "baseMVA": BASE,
+        "bus": np.array([[0, 0, 132, 1.1, 0.9], [1, 1, 33, 1.1, 0.9]]),
+        "device": np.array(
+            [[0, 0, 0, None, 200, -200, 200, -200] + [None] * 7, des_row],
+            dtype=object,
+        ),
+        "branch": np.array([[0, 1, 0.01, 0.1, 0.0, 100, 1, 0]]),
+    }
+    spec, _ = build_grid(net, delta_t, 10)
+    return spec
+
+
+def _map_storage(spec, soc, p_set, q_set):
+    from gym_anm_tpu.core.transition import _map_set_points
+
+    z = jnp.zeros(0, dtype=jnp.float64)
+    dev_p, dev_q, new_soc, _ = _map_set_points(
+        spec,
+        jnp.asarray([soc], dtype=jnp.float64),
+        z, z, z, z,
+        jnp.asarray([p_set], dtype=jnp.float64),
+        jnp.asarray([q_set], dtype=jnp.float64),
+    )
+    return float(dev_p[1]), float(dev_q[1]), float(new_soc[0])
+
+
+def test_load_map_pq_pipeline():
+    """Load.map_pq semantics (test_devices.py:74-106): clip + fixed Q/P."""
+    from gym_anm_tpu.core.grid import build_grid
+    from gym_anm_tpu.core.transition import _map_set_points
+
+    net = {
+        "baseMVA": BASE,
+        "bus": np.array([[0, 0, 132, 1.1, 0.9], [1, 1, 33, 1.1, 0.9]]),
+        "device": np.array(
+            [
+                [0, 0, 0, None, 200, -200, 200, -200] + [None] * 7,
+                [1, 1, -1, 0.2, 0, -10] + [None] * 9,
+            ],
+            dtype=object,
+        ),
+        "branch": np.array([[0, 1, 0.01, 0.1, 0.0, 100, 1, 0]]),
+    }
+    spec, _ = build_grid(net, 1.0, 10)
+    z = jnp.zeros(0, dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    for p in np.concatenate([rng.uniform(-10, 0, 10), rng.uniform(-50, -10, 5), rng.uniform(0.5, 50, 5)]) / BASE:
+        dev_p, dev_q, _, _ = _map_set_points(
+            spec, z, jnp.asarray([p], dtype=jnp.float64), z, z, z, z, z
+        )
+        expect_p = np.clip(p, -10 / BASE, 0.0)
+        np.testing.assert_allclose(float(dev_p[1]), expect_p, atol=1e-12)
+        np.testing.assert_allclose(float(dev_q[1]), expect_p * 0.2, atol=1e-12)
+
+
+def test_gen_p_pot_clipped_pipeline():
+    """Infeasible p_pot clipped into [p_min, p_max] (test_devices.py:240-247)."""
+    from gym_anm_tpu.core.grid import build_grid
+    from gym_anm_tpu.core.transition import _map_set_points
+
+    net = {
+        "baseMVA": BASE,
+        "bus": np.array([[0, 0, 132, 1.1, 0.9], [1, 1, 33, 1.1, 0.9]]),
+        "device": np.array(
+            [
+                [0, 0, 0, None, 200, -200, 200, -200] + [None] * 7,
+                [1, 1, 2, None, 10, 1, 2, -3] + [None] * 7,
+            ],
+            dtype=object,
+        ),
+        "branch": np.array([[0, 1, 0.01, 0.1, 0.0, 100, 1, 0]]),
+    }
+    spec, _ = build_grid(net, 1.0, 10)
+    z = jnp.zeros(0, dtype=jnp.float64)
+    rng = np.random.default_rng(8)
+    for p_pot in rng.uniform(-10, 10, 20) / BASE:
+        _, _, _, pp = _map_set_points(
+            spec, z, z,
+            jnp.asarray([p_pot], dtype=jnp.float64),
+            jnp.asarray([20.0], dtype=jnp.float64),
+            jnp.asarray([0.0], dtype=jnp.float64),
+            z, z,
+        )
+        np.testing.assert_allclose(float(pp[0]), np.clip(p_pot, 1 / BASE, 10 / BASE), atol=1e-12)
+
+
+def test_update_soc_simple_pipeline():
+    """SoC recursion with efficiency asymmetry (test_devices.py:456-474)."""
+    row = [1, 1, 3, None, 10, -12, 20, -30, 10, -12, 20, -30, 100, 10, 0.9]
+    rng = np.random.default_rng(9)
+    for delta_t in [1.0, 0.25]:
+        spec = _storage_only_spec(row, delta_t)
+        for p in rng.uniform(0, 10, 10) / BASE:  # discharge
+            des_p, _, soc = _map_storage(spec, 50 / BASE, p, 0.0)
+            np.testing.assert_allclose(des_p, p, atol=1e-10)
+            np.testing.assert_allclose(soc, 50 / BASE - delta_t * p / 0.9, atol=1e-10)
+        for p in rng.uniform(-10, 0, 10) / BASE:  # charge
+            des_p, _, soc = _map_storage(spec, 50 / BASE, p, 0.0)
+            np.testing.assert_allclose(des_p, p, atol=1e-10)
+            np.testing.assert_allclose(soc, 50 / BASE - delta_t * p * 0.9, atol=1e-10)
+
+
+def test_update_soc_clipping_pipeline():
+    """SoC stays inside [soc_min, soc_max] (test_devices.py:476-492).
+
+    The reference clips after an unconstrained update; the pipeline first
+    caps the (dis)charge rate so the post-update SoC lands exactly on the
+    bound -- same end state (simulator.py:503-523 composes them equally).
+    """
+    row = [1, 1, 3, None, 10, -12, 20, -30, 10, -12, 20, -30, 10, 0, 1.0]
+    spec = _storage_only_spec(row, 1.0)
+    rng = np.random.default_rng(10)
+    for p in rng.uniform(-12, -1, 10) / BASE:  # charge near-full -> clip at soc_max
+        _, _, soc = _map_storage(spec, 9 / BASE, p, 0.0)
+        np.testing.assert_allclose(soc, 10 / BASE, atol=1e-10)
+    for p in rng.uniform(1, 10, 10) / BASE:  # discharge near-empty -> clip at soc_min
+        _, _, soc = _map_storage(spec, 1 / BASE, p, 0.0)
+        np.testing.assert_allclose(soc, 0.0, atol=1e-10)
