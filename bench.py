@@ -26,8 +26,11 @@ def main():
     ap.add_argument("--steps", type=int, default=64, help="scanned steps per program call")
     ap.add_argument("--iters", type=int, default=10, help="timed program calls")
     ap.add_argument("--profile", action="store_true")
-    ap.add_argument("--pf", default="pallas", choices=["pallas", "scan"], help="NR solver path")
+    ap.add_argument(
+        "--pf", default="pallas", choices=["pallas", "scan", "hybrid"], help="NR solver path"
+    )
     ap.add_argument("--env", default="anm6easy", choices=["anm6easy", "feeder33"])
+    ap.add_argument("--tail", type=int, default=None, help="NR iteration budget (tail for --pf hybrid)")
     args = ap.parse_args()
 
     from gym_anm_tpu.envs.batched import BatchedEnv
@@ -37,7 +40,14 @@ def main():
     else:
         from gym_anm_tpu.envs.anm6.anm6_easy import make_core
 
-    core = make_core(pf_method=args.pf)
+    kw = {}
+    if args.tail is not None:
+        kw["pf_max_iter"] = args.tail
+    elif args.pf == "hybrid" and args.env == "anm6easy":
+        # Calibrated true-NR tail after the 16-iteration chord phase
+        # (feeder33's make_core auto-selects its own hybrid budget).
+        kw["pf_max_iter"] = 6
+    core = make_core(pf_method=args.pf, **kw)
     env = BatchedEnv(core, batch_size=args.batch)
 
     key = jax.random.PRNGKey(0)

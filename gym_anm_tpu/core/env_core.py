@@ -107,6 +107,7 @@ class EnvCore:
         x_tol: float = 1e-5,
         max_iter: int = 100,
         pf_method: str = "scan",
+        chord_iters: int = 16,
         stochastic_vars: bool = True,
     ):
         self.spec = spec
@@ -122,6 +123,7 @@ class EnvCore:
         self.x_tol = x_tol
         self.max_iter = max_iter
         self.pf_method = pf_method
+        self.chord_iters = int(chord_iters)
         # False => next_vars_fn ignores its PRNG key (deterministic process),
         # letting the batched path skip per-lane key splitting.
         self.stochastic_vars = stochastic_vars
@@ -240,6 +242,7 @@ class EnvCore:
             x_tol=self.x_tol,
             max_iter=self.max_iter,
             pf_method=self.pf_method,
+            chord_iters=self.chord_iters,
         )
 
         c1, c2 = self.costs_clipping
@@ -291,7 +294,7 @@ class EnvCore:
             raise EnvInitializationError(
                 "Expected size of initial state s0 is %d but actual is %d" % (self.expected_s0_n, s0.shape[-1])
             )
-        sim = sim_reset(spec, s0, x_tol=self.x_tol, max_iter=self.max_iter, pf_method=self.pf_method)
+        sim = sim_reset(spec, s0, x_tol=self.x_tol, max_iter=self.max_iter, pf_method=self.pf_method, chord_iters=self.chord_iters)
         aux = s0[..., 2 * spec.n_dev + spec.n_des + spec.n_gen :]
         terminated = jnp.zeros(s0.shape[:-1], dtype=bool)
         return EnvState(

@@ -186,6 +186,7 @@ def transition(
     x_tol=1e-5,
     max_iter=100,
     pf_method="scan",
+    chord_iters=16,
 ) -> TransitionResult:
     """One physics transition (simulator.py:464-537). All inputs in p.u.
 
@@ -201,6 +202,10 @@ def transition(
         Generator set-points.
     P_set_des, Q_set_des : [n_des]
         Storage set-points.
+    pf_method : {"scan", "while", "pallas", "hybrid"}
+        NR loop style; "hybrid" prepends ``chord_iters`` constant-Jacobian
+        chord iterations (matmul-only) before ``max_iter`` true-NR
+        iterations, on both the Pallas and XLA paths.
     """
     dev_p, dev_q, new_soc, p_pot = _map_set_points(
         spec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen, P_set_des, Q_set_des
@@ -220,7 +225,7 @@ def transition(
     # VMEM budget: keep the [2m, 2m+1, tile] elimination buffer under ~4 MB.
     tile_budget = [t for t in (512, 256, 128) if m2 * (m2 + 1) * t * 4 <= 4 * 2**20]
     use_pallas = (
-        pf_method == "pallas"
+        pf_method in ("pallas", "hybrid")
         and jax.default_backend() == "tpu"
         and p_in.ndim == 2
         and p_in.dtype == jnp.float32
@@ -232,12 +237,14 @@ def transition(
         B = p_in.shape[0]
         tile = next(t for t in tile_budget if B % t == 0)
         v_re, v_im, _, _, converged = solve_pfe_pallas(
-            spec.Y_re, spec.Y_im, p_in, q_in, x_tol=x_tol, max_iter=max_iter, tile=tile
+            spec.Y_re, spec.Y_im, p_in, q_in, x_tol=x_tol, max_iter=max_iter, tile=tile,
+            chord_iters=chord_iters if pf_method == "hybrid" else 0,
         )
     else:
-        method = "scan" if pf_method == "pallas" else pf_method
+        method = {"pallas": "scan"}.get(pf_method, pf_method)
         v_re, v_im, _, _, converged = solve_pfe(
-            spec.Y_re, spec.Y_im, p_in, q_in, x_tol=x_tol, max_iter=max_iter, method=method
+            spec.Y_re, spec.Y_im, p_in, q_in, x_tol=x_tol, max_iter=max_iter, method=method,
+            chord_iters=chord_iters,
         )
 
     # Nodal currents I = Y V and slack power (solve_load_flow.py:54-72;
@@ -283,7 +290,7 @@ def transition(
     return TransitionResult(state, reward, e_loss, penalty, converged)
 
 
-def sim_reset(spec: GridSpec, s0, x_tol=1e-5, max_iter=100, pf_method="scan") -> SimState:
+def sim_reset(spec: GridSpec, s0, x_tol=1e-5, max_iter=100, pf_method="scan", chord_iters=16) -> SimState:
     """Apply an initial state vector (reference layout, MW/MVAr/MWh units)
     to the grid (simulator.py:225-293).
 
@@ -314,6 +321,7 @@ def sim_reset(spec: GridSpec, s0, x_tol=1e-5, max_iter=100, pf_method="scan") ->
         x_tol=x_tol,
         max_iter=max_iter,
         pf_method=pf_method,
+        chord_iters=chord_iters,
     )
     # Override the SoC with the requested initial value (simulator.py:284-288;
     # note the reference does not clip it here).

@@ -131,8 +131,21 @@ def _daily_factor(t):
     return 0.75 + 0.25 * np.sin(2 * np.pi * (np.asarray(t, dtype=float) / 96.0 - 0.3))
 
 
-def make_core(dtype=None, pf_max_iter=15, pf_method="pallas"):
-    """Pure-functional EnvCore for the feeder (batched fast path)."""
+def make_core(dtype=None, pf_max_iter=None, pf_method="hybrid"):
+    """Pure-functional EnvCore for the feeder (batched fast path).
+
+    Default solver: ``pf_method="hybrid"`` -- 16 chord iterations with the
+    constant flat-start Jacobian (matmul-only; converges 98.6% of lanes on
+    harsh random-injection sweeps) followed by a 6-iteration true-NR tail.
+    At 33 buses the per-lane Gaussian elimination dominates pure NR, so the
+    chord phase is worth 2.3x measured end-to-end throughput; a tail of 5
+    still reproduces pure-NR termination decisions exactly over ~2.6M
+    benchmark solves (tail 6 adds one iteration of margin for restarted
+    lanes).  ``pf_max_iter=None`` auto-selects the calibrated budget: 6
+    (tail) for hybrid, 15 for pure NR (measured flat-start p100 = 6, with
+    margin)."""
+    if pf_max_iter is None:
+        pf_max_iter = 6 if pf_method == "hybrid" else 15
     from ..core.env_core import EnvCore
     from ..core.grid import build_grid
     from ..core.obs import state_values_spec

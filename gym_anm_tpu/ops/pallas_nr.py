@@ -28,7 +28,9 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE = 512  # environments per grid program (multiple of 128)
 
 
-def _nr_tile_kernel(Yre_ref, Yim_ref, p_ref, q_ref, vr_ref, vi_ref, diff_ref, it_ref, *, n, x_tol, max_iter):
+def _nr_tile_kernel(
+    Yre_ref, Yim_ref, J0inv_ref, p_ref, q_ref, vr_ref, vi_ref, diff_ref, it_ref, *, n, x_tol, max_iter, chord_iters
+):
     m = n - 1
     Yre = Yre_ref[:]  # [n, n]
     Yim = Yim_ref[:]
@@ -116,6 +118,43 @@ def _nr_tile_kernel(Yre_ref, Yim_ref, p_ref, q_ref, vr_ref, vi_ref, diff_ref, it
     ir0, ii0 = yv(vr0, vi0)
     F0 = mismatch(vr0, vi0, ir0, ii0)
     diff0 = jnp.max(jnp.abs(F0), axis=0)  # [TB]
+    it0 = jnp.zeros((TB,), jnp.int32)
+
+    if chord_iters > 0:
+        # Chord phase: x <- x - J0^{-1} F(x) with the constant flat-start
+        # Jacobian -- no per-lane Jacobian build or elimination, just a
+        # [2m, 2m] x [2m, TB] contraction (exact-f32 broadcast-sum, like yv).
+        J0inv = J0inv_ref[:]  # [2m, 2m]
+
+        def chord_body(_, carry):
+            theta, vm, F, diff, it = carry
+            active = diff > x_tol  # NaN freezes the lane
+            dx = jnp.sum(J0inv[:, :, None] * F[None, :, :], axis=1)  # [2m, TB]
+            theta_n = theta - dx[:m]
+            vm_n = vm - dx[m:]
+            vr, vi = construct_v(theta_n, vm_n)
+            ir, ii = yv(vr, vi)
+            F_n = mismatch(vr, vi, ir, ii)
+            d_n = jnp.max(jnp.abs(F_n), axis=0)
+            am = active[None, :]
+            theta = jnp.where(am, theta_n, theta)
+            vm = jnp.where(am, vm_n, vm)
+            F = jnp.where(am, F_n, F)
+            diff = jnp.where(active, d_n, diff)
+            return theta, vm, F, diff, it + active.astype(jnp.int32)
+
+        theta_c, vm_c, F_c, diff_c, it0 = lax.fori_loop(
+            0, chord_iters, chord_body, (theta0, vm0, F0, diff0, it0)
+        )
+        # Worsened/NaN lanes restart the NR tail from the flat start.
+        bad = ~jnp.isfinite(diff_c) | (diff_c > diff0)
+        bm = bad[None, :]
+        theta0 = jnp.where(bm, theta0, theta_c)
+        vm0 = jnp.where(bm, vm0, vm_c)
+        F0 = jnp.where(bm, F0, F_c)
+        diff0 = jnp.where(bad, diff0, diff_c)
+        vr0, vi0 = construct_v(theta0, vm0)
+        ir0, ii0 = yv(vr0, vi0)
 
     def body(_, carry):
         theta, vm, F, diff, it, ir, ii = carry
@@ -139,7 +178,6 @@ def _nr_tile_kernel(Yre_ref, Yim_ref, p_ref, q_ref, vr_ref, vi_ref, diff_ref, it
         it = it + active.astype(jnp.int32)
         return theta, vm, F, diff, it, ir, ii
 
-    it0 = jnp.zeros((TB,), jnp.int32)
     theta, vm, F, diff, it, _, _ = lax.fori_loop(
         0, max_iter, body, (theta0, vm0, F0, diff0, it0, ir0, ii0)
     )
@@ -150,12 +188,15 @@ def _nr_tile_kernel(Yre_ref, Yim_ref, p_ref, q_ref, vr_ref, vi_ref, diff_ref, it
     it_ref[:] = it[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("x_tol", "max_iter", "tile"))
-def solve_pfe_pallas(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=10, tile=DEFAULT_TILE):
+@functools.partial(jax.jit, static_argnames=("x_tol", "max_iter", "tile", "chord_iters"))
+def solve_pfe_pallas(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=10, tile=DEFAULT_TILE, chord_iters=0):
     """Batched NR solve via the fused VMEM kernel.
 
-    p, q: [B, m] float32 with B a multiple of ``tile``.  Returns
-    (v_re [B, n], v_im [B, n], diff [B], n_iter [B], converged [B]).
+    p, q: [B, m] float32 with B a multiple of ``tile``.  With
+    ``chord_iters > 0``, prepends that many chord iterations with the
+    constant flat-start Jacobian inverse (see ops/power_flow.py
+    ``method="hybrid"``) before the ``max_iter`` true-NR iterations.
+    Returns (v_re [B, n], v_im [B, n], diff [B], n_iter [B], converged [B]).
     """
     B, m = p.shape
     n = m + 1
@@ -163,14 +204,22 @@ def solve_pfe_pallas(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=10, tile=DEFAULT_TIL
     pT = p.T  # [m, B]
     qT = q.T
 
+    from .power_flow import flat_start_jacobian_inv
+
+    # Constant-folded at compile time when Y is a trace-time constant.
+    J0inv = flat_start_jacobian_inv(Y_re.astype(p.dtype), Y_im.astype(p.dtype))
+
     grid = (B // tile,)
-    kernel = functools.partial(_nr_tile_kernel, n=n, x_tol=x_tol, max_iter=max_iter)
+    kernel = functools.partial(
+        _nr_tile_kernel, n=n, x_tol=x_tol, max_iter=max_iter, chord_iters=chord_iters
+    )
     vr, vi, diff, it = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * m, 2 * m), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
@@ -186,7 +235,7 @@ def solve_pfe_pallas(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=10, tile=DEFAULT_TIL
             jax.ShapeDtypeStruct((1, B), p.dtype),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
-    )(Y_re.astype(p.dtype), Y_im.astype(p.dtype), pT, qT)
+    )(Y_re.astype(p.dtype), Y_im.astype(p.dtype), J0inv, pT, qT)
     diff = diff[0]
     converged = diff <= x_tol
     return vr.T, vi.T, diff, it[0], converged

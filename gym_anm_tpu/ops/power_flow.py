@@ -145,8 +145,26 @@ def _jacobian(v_re, v_im, i_re, i_im, Y_re, Y_im):
     return jnp.concatenate([top, bot], axis=0)  # [2m, 2m, B]
 
 
-@partial(jax.jit, static_argnames=("max_iter", "method"))
-def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan"):
+def flat_start_jacobian_inv(Y_re, Y_im):
+    """Inverse of the flat-start NR Jacobian, which depends only on Y.
+
+    At the flat start (theta=0, |V|=1 everywhere) the polar Jacobian is a
+    fixed function of the admittance matrix, so its inverse can be folded
+    into the compiled program as a constant and used as the iteration matrix
+    of the chord (constant-Jacobian) method: one [2m, 2m] x [2m, B] matmul
+    per iteration instead of a per-lane factorization.
+    """
+    n = Y_re.shape[0]
+    m = n - 1
+    dt = Y_re.dtype
+    vr0, vi0 = _construct_v(jnp.zeros((m, 1), dt), jnp.ones((m, 1), dt))
+    ir0, ii0 = _yv(Y_re, Y_im, vr0, vi0)
+    J0 = _jacobian(vr0, vi0, ir0, ii0, Y_re, Y_im)[:, :, 0]  # [2m, 2m]
+    return jnp.linalg.inv(J0)
+
+
+@partial(jax.jit, static_argnames=("max_iter", "method", "chord_iters"))
+def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan", chord_iters=16):
     """Newton-Raphson solve of the AC power-flow equations.
 
     Parameters
@@ -160,11 +178,21 @@ def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan"):
     x_tol : float
         Convergence tolerance on the inf-norm of the mismatch.
     max_iter : int
-        Iteration cap (reference ``lim_iter=100``).
-    method : {"scan", "while"}
-        Loop style; identical results.  "scan" is straight-line (TPU
+        Iteration cap (reference ``lim_iter=100``).  For ``method="hybrid"``
+        this is the budget of the *true-NR tail* only.
+    method : {"scan", "while", "hybrid"}
+        "scan" is the straight-line masked fixed-iteration loop (TPU
         default), "while" early-exits (fast on CPU; requires backend
-        while-loop support).
+        while-loop support); both produce identical results.  "hybrid"
+        prepends ``chord_iters`` chord iterations -- x <- x - J0^{-1} F(x)
+        with the constant flat-start Jacobian -- which are pure matmuls
+        (no per-lane Jacobian build or elimination), then finishes the
+        unconverged lanes with true NR; lanes the chord phase made worse
+        (or NaN) are reset to the flat start first, so every lane the pure
+        NR method can solve within ``chord_iters + max_iter`` iterations
+        still converges to the same tolerance.
+    chord_iters : int
+        Number of chord iterations for ``method="hybrid"``.
 
     Returns ``(v_re, v_im, diff, n_iter, converged)`` with the same batch
     layout as the inputs ([B, n] / [B] when batched).
@@ -185,6 +213,41 @@ def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan"):
     ivr0, ivi0 = _yv(Y_re, Y_im, vr0, vi0)
     F0 = _mismatch(vr0, vi0, ivr0, ivi0, pT, qT)
     diff0 = jnp.max(jnp.abs(F0), axis=0)  # [B]
+
+    n_chord = jnp.zeros((B,), dtype=jnp.int32)
+    if method == "hybrid" and chord_iters > 0:
+        J0inv = flat_start_jacobian_inv(Y_re.astype(dt), Y_im.astype(dt))
+
+        def chord_body(c, _):
+            theta, vm, F, diff, it = c
+            active = diff > x_tol  # NaN freezes the lane
+            dx = jnp.dot(J0inv, F, precision=_HI)  # [2m, B]
+            theta_n = theta - dx[:m]
+            vm_n = vm - dx[m:]
+            vr, vi = _construct_v(theta_n, vm_n)
+            ir, ii = _yv(Y_re, Y_im, vr, vi)
+            F_n = _mismatch(vr, vi, ir, ii, pT, qT)
+            d_n = jnp.max(jnp.abs(F_n), axis=0)
+            am = active[None, :]
+            theta = jnp.where(am, theta_n, theta)
+            vm = jnp.where(am, vm_n, vm)
+            F = jnp.where(am, F_n, F)
+            diff = jnp.where(active, d_n, diff)
+            return (theta, vm, F, diff, it + active.astype(jnp.int32)), None
+
+        (theta_c, vm_c, F_c, diff_c, n_chord), _ = lax.scan(
+            chord_body, (theta0, vm0, F0, diff0, n_chord), None, length=chord_iters
+        )
+        # Lanes the chord phase failed to improve restart NR from the flat
+        # start; improved-but-unconverged lanes hand their iterate to NR.
+        bad = ~jnp.isfinite(diff_c) | (diff_c > diff0)
+        bm = bad[None, :]
+        theta0 = jnp.where(bm, theta0, theta_c)
+        vm0 = jnp.where(bm, vm0, vm_c)
+        F0 = jnp.where(bm, F0, F_c)
+        diff0 = jnp.where(bad, diff0, diff_c)
+        vr0, vi0 = _construct_v(theta0, vm0)
+        ivr0, ivi0 = _yv(Y_re, Y_im, vr0, vi0)
 
     # The current I = YV is carried between iterations: the Jacobian of
     # iteration k and the mismatch of iteration k-1 share it, halving the
@@ -243,6 +306,7 @@ def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan"):
 
     v_re, v_im = _construct_v(theta, vm)
     converged = diff <= x_tol
+    n_iter = n_iter + n_chord
     v_re, v_im = v_re.T, v_im.T  # [B, n]
     if single:
         return v_re[0], v_im[0], diff[0], n_iter[0], converged[0]

@@ -1,0 +1,168 @@
+"""Prototype: chord (constant-Jacobian) NR convergence vs true NR.
+
+Samples random bus injections inside the per-bus aggregate bounds (the same
+distribution as the randomized load-flow tests) and measures how many
+iterations the chord method x <- x - J0^{-1} F(x), with J0 the flat-start
+Jacobian (a constant that depends only on Y), needs to reach the reference
+tolerance 1e-5, compared to true Newton-Raphson.
+"""
+
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from gym_anm_tpu.core.grid import build_grid
+from gym_anm_tpu.ops.power_flow import solve_pfe, _construct_v, _yv, _mismatch, _jacobian
+
+
+def run(name, net, n_samples=2000, scale=1.0, seed=0):
+    spec, _ = build_grid(net, 0.25, 100)
+    n = spec.n_bus
+    m = n - 1
+    Y_re = np.asarray(spec.Y_re, dtype=np.float64)
+    Y_im = np.asarray(spec.Y_im, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    p_lo = np.asarray(spec.bus_p_min)[1:] * scale
+    p_hi = np.asarray(spec.bus_p_max)[1:] * scale
+    q_lo = np.asarray(spec.bus_q_min)[1:] * scale
+    q_hi = np.asarray(spec.bus_q_max)[1:] * scale
+    p = rng.uniform(p_lo, p_hi, size=(n_samples, m))
+    q = rng.uniform(q_lo, q_hi, size=(n_samples, m))
+
+    # True NR (existing solver) for baseline iterations + convergence mask.
+    _, _, diff, n_iter, conv = solve_pfe(
+        jnp.asarray(Y_re), jnp.asarray(Y_im), jnp.asarray(p), jnp.asarray(q),
+        x_tol=1e-5, max_iter=100, method="scan",
+    )
+    conv = np.asarray(conv)
+    n_iter = np.asarray(n_iter)
+    print(f"[{name}] NR: converged {conv.mean()*100:.1f}%  iters p50/p95/p100 = "
+          f"{np.percentile(n_iter[conv], 50):.0f}/{np.percentile(n_iter[conv], 95):.0f}/{n_iter[conv].max()}")
+
+    # Flat-start Jacobian (depends only on Y) and its inverse.
+    B1 = 1
+    theta0 = jnp.zeros((m, B1)); vm0 = jnp.ones((m, B1))
+    vr, vi = _construct_v(theta0, vm0)
+    ir, ii = _yv(jnp.asarray(Y_re), jnp.asarray(Y_im), vr, vi)
+    J0 = np.asarray(_jacobian(vr, vi, ir, ii, jnp.asarray(Y_re), jnp.asarray(Y_im)))[:, :, 0]
+    J0inv = np.linalg.inv(J0)
+
+    # Chord iteration, batched in numpy (batch-last).
+    pT, qT = p.T, q.T
+    theta = np.zeros((m, n_samples)); vm = np.ones((m, n_samples))
+    it_conv = np.full(n_samples, -1)
+    max_chord = 200
+    for k in range(max_chord):
+        vr = np.concatenate([np.ones((1, n_samples)), vm * np.cos(theta)])
+        vi = np.concatenate([np.zeros((1, n_samples)), vm * np.sin(theta)])
+        ir = Y_re @ vr - Y_im @ vi
+        ii = Y_re @ vi + Y_im @ vr
+        s_re = vr * ir + vi * ii
+        s_im = vi * ir - vr * ii
+        F = np.concatenate([s_re[1:] - pT, s_im[1:] - qT])
+        d = np.max(np.abs(F), axis=0)
+        newly = (d <= 1e-5) & (it_conv < 0)
+        it_conv[newly] = k
+        if np.all(it_conv >= 0):
+            break
+        dx = J0inv @ F
+        active = (it_conv < 0)
+        theta = np.where(active, theta - dx[:m], theta)
+        vm = np.where(active, vm - dx[m:], vm)
+
+    chord_ok = it_conv >= 0
+    both = conv & chord_ok
+    print(f"[{name}] chord: converged {chord_ok.mean()*100:.1f}% "
+          f"(of NR-converged: {(chord_ok[conv]).mean()*100:.1f}%)  "
+          f"iters p50/p95/p100 = "
+          f"{np.percentile(it_conv[chord_ok], 50):.0f}/{np.percentile(it_conv[chord_ok], 95):.0f}/{it_conv[chord_ok].max()}")
+    # lanes where NR converges but chord doesn't:
+    bad = conv & ~chord_ok
+    print(f"[{name}] NR-converged but chord-failed: {bad.sum()} / {n_samples}")
+
+
+from gym_anm_tpu.envs.anm6.network import network as anm6_net
+from gym_anm_tpu.envs.feeder33 import make_feeder_network
+
+run("anm6", anm6_net, scale=1.0)
+run("anm6 x0.5", anm6_net, scale=0.5)
+run("feeder33", make_feeder_network(), scale=1.0)
+run("feeder33 x0.5", make_feeder_network(), scale=0.5)
+
+
+def run_hybrid(name, net, k1=16, n_samples=4000, scale=1.0, seed=1):
+    """Chord k1 iters -> masked true NR; measure NR iters needed after."""
+    spec, _ = build_grid(net, 0.25, 100)
+    n = spec.n_bus; m = n - 1
+    Y_re = np.asarray(spec.Y_re, dtype=np.float64)
+    Y_im = np.asarray(spec.Y_im, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    p = rng.uniform(np.asarray(spec.bus_p_min)[1:]*scale, np.asarray(spec.bus_p_max)[1:]*scale, size=(n_samples, m))
+    q = rng.uniform(np.asarray(spec.bus_q_min)[1:]*scale, np.asarray(spec.bus_q_max)[1:]*scale, size=(n_samples, m))
+
+    # Reference NR from flat start.
+    _, _, _, nr_it, nr_conv = solve_pfe(jnp.asarray(Y_re), jnp.asarray(Y_im), jnp.asarray(p), jnp.asarray(q), x_tol=1e-5, max_iter=100, method="scan")
+    nr_conv = np.asarray(nr_conv); nr_it = np.asarray(nr_it)
+
+    theta0 = jnp.zeros((m, 1)); vm0 = jnp.ones((m, 1))
+    vr, vi = _construct_v(theta0, vm0)
+    ir, ii = _yv(jnp.asarray(Y_re), jnp.asarray(Y_im), vr, vi)
+    J0inv = np.linalg.inv(np.asarray(_jacobian(vr, vi, ir, ii, jnp.asarray(Y_re), jnp.asarray(Y_im)))[:, :, 0])
+
+    pT, qT = p.T, q.T
+    theta = np.zeros((m, n_samples)); vm = np.ones((m, n_samples))
+    def mism(theta, vm):
+        vr = np.concatenate([np.ones((1, n_samples)), vm * np.cos(theta)])
+        vi = np.concatenate([np.zeros((1, n_samples)), vm * np.sin(theta)])
+        ir = Y_re @ vr - Y_im @ vi; ii = Y_re @ vi + Y_im @ vr
+        F = np.concatenate([(vr*ir+vi*ii)[1:] - pT, (vi*ir-vr*ii)[1:] - qT])
+        return F
+    F = mism(theta, vm); d0 = np.max(np.abs(F), axis=0)
+    with np.errstate(all="ignore"):
+        for k in range(k1):
+            d = np.max(np.abs(F), axis=0)
+            active = d > 1e-5
+            dx = J0inv @ F
+            theta = np.where(active & np.isfinite(dx[:m]).all(0), theta - dx[:m], theta)
+            vm = np.where(active & np.isfinite(dx[m:]).all(0), vm - dx[m:], vm)
+            F = mism(theta, vm)
+    d = np.max(np.abs(F), axis=0)
+    # Reset worsened/NaN lanes to flat start.
+    bad = ~np.isfinite(d) | (d > d0)
+    theta = np.where(bad, 0.0, theta); vm = np.where(bad, 1.0, vm)
+    conv_after_chord = (np.where(bad, d0, d) <= 1e-5)
+    print(f"[{name}] after {k1} chord iters: {conv_after_chord.mean()*100:.1f}% converged, {bad.sum()} reset lanes")
+
+    # Phase 2: true NR (vectorized via solve_pfe won't accept a start; do numpy NR per the same formulas)
+    def jac_np(theta, vm):
+        vr = np.concatenate([np.ones((1, n_samples)), vm * np.cos(theta)])
+        vi = np.concatenate([np.zeros((1, n_samples)), vm * np.sin(theta)])
+        J = _jacobian(jnp.asarray(vr), jnp.asarray(vi), *(jnp.asarray(a) for a in (Y_re @ vr - Y_im @ vi, Y_re @ vi + Y_im @ vr)), jnp.asarray(Y_re), jnp.asarray(Y_im))
+        return np.asarray(J)
+    F = mism(theta, vm)
+    it2 = np.full(n_samples, -1)
+    with np.errstate(all="ignore"):
+        for k in range(30):
+            d = np.max(np.abs(F), axis=0)
+            newly = (d <= 1e-5) & (it2 < 0)
+            it2[newly] = k
+            if np.all(it2 >= 0):
+                break
+            J = jac_np(theta, vm)  # [2m, 2m, B]
+            dx = np.stack([np.linalg.solve(J[:, :, b], F[:, b]) if np.isfinite(J[:, :, b]).all() and np.isfinite(F[:, b]).all() else np.full(2*m, np.nan) for b in range(n_samples)], axis=1)
+            active = it2 < 0
+            theta = np.where(active, theta - dx[:m], theta)
+            vm = np.where(active, vm - dx[m:], vm)
+            F = mism(theta, vm)
+    hyb_conv = it2 >= 0
+    ok = hyb_conv[nr_conv]
+    extra = it2[nr_conv & hyb_conv]
+    print(f"[{name}] hybrid: of NR-converged lanes, {ok.mean()*100:.2f}% converge; NR-phase iters p50/p95/p100 = {np.percentile(extra,50):.0f}/{np.percentile(extra,95):.0f}/{extra.max()}")
+    print(f"[{name}] hybrid converged lanes NOT NR-converged: {(hyb_conv & ~nr_conv).sum()}  (NR conv {nr_conv.mean()*100:.1f}%)")
+
+run_hybrid("anm6", anm6_net)
+run_hybrid("feeder33", make_feeder_network())
