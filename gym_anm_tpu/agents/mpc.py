@@ -319,30 +319,63 @@ class MPCAgent:
 
         self._admm_chunk = jax.jit(admm_chunk)
 
-        def admm_chunk_batch(ls, us, x, z, y, L, rho_vec):
-            """Batched ADMM chunk: ls/us/z/y [m, B], x [n, B], shared L/rho."""
+        def admm_batch_full(ls, us, rho0, n_chunks, chunk_len, eps):
+            """Fully on-device batched ADMM: ls/us [B, m] -> x [B, n].
 
-            def solve_kkt(bm):
-                hm = jax.scipy.linalg.solve_triangular(L, bm, lower=True)
-                return jax.scipy.linalg.solve_triangular(L.T, hm, lower=False)
+            Runs ``n_chunks`` chunks of ``chunk_len`` iterations under one
+            jit; after each chunk the per-lane rho is rebalanced from the
+            primal/dual residual ratio and the per-lane KKT matrix is
+            re-factorized on device (OSQP's adaptive-rho scheme, without
+            any host round-trips -- closes the host-driven restart loop of
+            the earlier implementation).  Fixed iteration structure (scan
+            of scans): TPU runtimes without ``lax.while_loop`` support run
+            it unchanged; converged lanes simply keep iterating at their
+            fixed point (ADMM fixed points are rho-invariant).
+            """
+            Bsz = ls.shape[0]
+            eye = jnp.eye(Aj.shape[1], dtype=Aj.dtype)
 
-            def body(carry, _):
-                x, z, y = carry
-                b = sigma * x - qj[:, None] + Aj.T @ (rho_vec[:, None] * z - y)
-                x_new = solve_kkt(b)
-                Ax = Aj @ x_new
-                z_t = alpha * Ax + (1 - alpha) * z
-                z_new = jnp.clip(z_t + y / rho_vec[:, None], ls, us)
-                y_new = y + rho_vec[:, None] * (z_t - z_new)
-                return (x_new, z_new, y_new), None
+            def factor(rho):  # rho [B, m] -> L [B, n, n]
+                K = sigma * eye[None] + jnp.einsum("mi,Bm,mj->Bij", Aj, rho, Aj)
+                return jnp.linalg.cholesky(K)
 
-            (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=iters)
-            Ax = Aj @ x
-            pri = jnp.max(jnp.abs(Ax - z), axis=0)  # [B]
-            dual = jnp.max(jnp.abs(qj[:, None] + Aj.T @ y + sigma * x), axis=0)
-            return x, z, y, pri, dual
+            def chunk(carry, _):
+                x, z, y, rho = carry  # x [B, n], z/y/rho [B, m]
+                L = factor(rho)
+                LT = jnp.swapaxes(L, -1, -2)
 
-        self._admm_chunk_batch = jax.jit(admm_chunk_batch)
+                def body(c, _):
+                    x, z, y = c
+                    b = sigma * x - qj[None] + jnp.einsum("mn,Bm->Bn", Aj, rho * z - y)
+                    h = jax.scipy.linalg.solve_triangular(L, b[..., None], lower=True)
+                    x_new = jax.scipy.linalg.solve_triangular(LT, h, lower=False)[..., 0]
+                    Ax = jnp.einsum("mn,Bn->Bm", Aj, x_new)
+                    z_t = alpha * Ax + (1 - alpha) * z
+                    z_new = jnp.clip(z_t + y / rho, ls, us)
+                    y_new = y + rho * (z_t - z_new)
+                    return (x_new, z_new, y_new), None
+
+                (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=chunk_len)
+                Ax = jnp.einsum("mn,Bn->Bm", Aj, x)
+                pri = jnp.max(jnp.abs(Ax - z), axis=1)  # [B]
+                dual = jnp.max(jnp.abs(qj[None] + jnp.einsum("mn,Bm->Bn", Aj, y) + sigma * x), axis=1)
+                ratio = jnp.sqrt(jnp.maximum(pri, 1e-16) / jnp.maximum(dual, 1e-16))
+                ratio = jnp.clip(ratio, 1e-2, 1e2)
+                conv = (pri < eps) & (dual < eps)
+                rebal = (~conv) & ((ratio < 0.5) | (ratio > 2.0))
+                rho = jnp.where(rebal[:, None], jnp.clip(rho * ratio[:, None], 1e-6, 1e6), rho)
+                return (x, z, y, rho), (pri, dual)
+
+            m, n = Aj.shape
+            x0 = jnp.zeros((Bsz, n), Aj.dtype)
+            z0 = jnp.clip(jnp.zeros((Bsz, m), Aj.dtype), ls, us)
+            y0 = jnp.zeros((Bsz, m), Aj.dtype)
+            (x, z, y, _), (pri, dual) = jax.lax.scan(
+                chunk, (x0, z0, y0, rho0), None, length=n_chunks
+            )
+            return x, z, y, pri[-1], dual[-1]
+
+        self._admm_batch_full = jax.jit(admm_batch_full, static_argnums=(3, 4, 5))
 
     def _factor(self, rho_vec):
         K = self._sigma * np.eye(self.nz) + (self._As.T * rho_vec) @ self._As
@@ -406,40 +439,20 @@ class MPCAgent:
             return x_p
         return x
 
-    def _admm_batch(self, lv, uv, eps=1e-8, max_chunks=12):
+    def _admm_batch(self, lv, uv, eps=1e-8, max_chunks=16, chunk_len=1500):
         """Batched ADMM across B problem instances sharing (A, q).
 
-        lv/uv: [B, m].  The adaptive-rho restarts use the worst lane's
-        residual ratio (the KKT factor is shared).  No per-lane polish --
-        accuracy is the ADMM tolerance (eps on scaled residuals).
-        Returns x [B, n].
+        lv/uv: [B, m].  One jitted program: per-lane adaptive rho with
+        on-device KKT refactorization between chunks (no host round-trips).
+        No per-lane polish -- accuracy is the ADMM tolerance (eps on
+        scaled residuals).  Returns x [B, n].
         """
-        m, n = self._As.shape
-        Bsz = lv.shape[0]
-        ls = (self._E[None, :] * lv).T  # [m, B]
-        us = (self._E[None, :] * uv).T
-        rho_vec = np.where(self._eq_rows, self._rho0 * 1e3, self._rho0)
-        L = self._factor(rho_vec)
-        x = np.zeros((n, Bsz))
-        z = np.clip(np.zeros((m, Bsz)), ls, us)
-        y = np.zeros((m, Bsz))
-        for _ in range(max_chunks):
-            x, z, y, pri, dual = (
-                np.asarray(v)
-                for v in self._admm_chunk_batch(
-                    jnp.asarray(ls), jnp.asarray(us), jnp.asarray(x), jnp.asarray(z), jnp.asarray(y),
-                    jnp.asarray(L), jnp.asarray(rho_vec),
-                )
-            )
-            if pri.max() < eps and dual.max() < eps:
-                break
-            factor = np.sqrt(max(pri.max(), 1e-16) / max(dual.max(), 1e-16))
-            factor = float(np.clip(factor, 1e-2, 1e2))
-            if 0.5 < factor < 2.0:
-                continue
-            rho_vec = np.clip(rho_vec * factor, 1e-6, 1e6)
-            L = self._factor(rho_vec)
-        return (self._D[:, None] * x).T  # [B, n]
+        ls = jnp.asarray(self._E[None, :] * lv)  # [B, m]
+        us = jnp.asarray(self._E[None, :] * uv)
+        rho0 = np.where(self._eq_rows, self._rho0 * 1e3, self._rho0)
+        rho0 = jnp.asarray(np.broadcast_to(rho0, ls.shape))
+        x, _, _, _, _ = self._admm_batch_full(ls, us, rho0, max_chunks, chunk_len, eps)
+        return np.asarray(x) * self._D[None, :]  # [B, n]
 
     def solve_batch(self, load_forecasts, gen_forecasts, init_socs):
         """Solve the N-stage DC-OPF for a batch of B environment lanes.
