@@ -127,8 +127,24 @@ class ANM6(ANMEnv):
         c2 = 10000 if self.costs_clipping[1] is None or np.isinf(self.costs_clipping[1]) else self.costs_clipping[1]
         costs_range = (c1, c2)
 
+        # True grid graph (schema extension; see rendering.start): lets the
+        # client lay out any network instead of a hand-drawn per-env SVG.
+        spec = self.simulator.spec
+        srt = np.asarray(spec.bus_sorted)
+        inv = np.empty_like(srt)
+        inv[srt] = np.arange(len(srt))  # internal idx -> ascending-ID position
+        topology = {
+            "busOfDevice": [int(inv[b]) for b in np.asarray(spec.dev_bus)],
+            "branches": [
+                [int(inv[f]), int(inv[t])]
+                for f, t in zip(np.asarray(spec.br_f), np.asarray(spec.br_t))
+            ],
+            "slackBus": int(inv[0]),  # internal order puts the slack bus first
+        }
+
         self.http_server, self.ws_server = rendering.start(
-            title, dev_type, ps, qs, branch_rate, bus_v_min, bus_v_max, soc_max, costs_range
+            title, dev_type, ps, qs, branch_rate, bus_v_min, bus_v_max, soc_max, costs_range,
+            topology=topology,
         )
 
     def _update_render(self, dev_p, dev_q, branch_s, des_soc, gen_p_max, bus_v_magn, costs, network_collapsed):

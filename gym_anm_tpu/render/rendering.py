@@ -20,9 +20,19 @@ from .servers import HttpServer, WsServer
 WEB_FOLDER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "web")
 
 
-def start(title, dev_type, p_max, q_max, s_rate, v_magn_min, v_magn_max, soc_max, costs_range):
+def start(
+    title, dev_type, p_max, q_max, s_rate, v_magn_min, v_magn_max, soc_max, costs_range, topology=None
+):
     """Boot the HTTP + WS servers, open the browser, send the init frame
     (rendering.py:12-107).
+
+    ``topology`` (optional, an extension over the reference schema) carries
+    the true grid graph so the client can lay the scene out for *any*
+    network instead of relying on a hand-drawn per-env SVG:
+    ``{"busOfDevice": [bus index per device], "branches": [[f, t], ...],
+    "slackBus": int}`` with bus indices in the ascending-bus-ID order used
+    by ``vMagn``.  Clients that predate the field ignore it; this client
+    falls back to a star/rail layout without it.
 
     Returns ``(http_server, ws_server)``.
     """
@@ -61,22 +71,22 @@ def start(title, dev_type, p_max, q_max, s_rate, v_magn_min, v_magn_max, soc_max
             raise ConnectionError("Connection to HTTP server timeout.")
     webbrowser.open(http_server.address + "/")
 
-    message = json.dumps(
-        {
-            "messageLabel": "init",
-            "deviceType": list(map(int, dev_type)),
-            "pMax": list(map(float, p_max)),
-            "qMax": list(map(float, q_max)),
-            "sRate": list(map(float, s_rate)),
-            "vMagnMin": list(map(float, v_magn_min)),
-            "vMagnMax": list(map(float, v_magn_max)),
-            "socMax": list(map(float, soc_max)),
-            "energyLossMax": float(costs_range[0]),
-            "penaltyMax": float(costs_range[1]),
-            "title": str(title),
-        },
-        separators=(",", ":"),
-    )
+    payload = {
+        "messageLabel": "init",
+        "deviceType": list(map(int, dev_type)),
+        "pMax": list(map(float, p_max)),
+        "qMax": list(map(float, q_max)),
+        "sRate": list(map(float, s_rate)),
+        "vMagnMin": list(map(float, v_magn_min)),
+        "vMagnMax": list(map(float, v_magn_max)),
+        "socMax": list(map(float, soc_max)),
+        "energyLossMax": float(costs_range[0]),
+        "penaltyMax": float(costs_range[1]),
+        "title": str(title),
+    }
+    if topology is not None:
+        payload["topology"] = topology
+    message = json.dumps(payload, separators=(",", ":"))
     ws.send(message)
     ws.close()
 
@@ -127,12 +137,16 @@ def write_html(ws_address):
 <body>
     <header><h1 id="title">gym-anm-tpu</h1><span id="clock"></span></header>
     <main>
-        <canvas id="network" width="980" height="560"></canvas>
+        <div id="scene-wrap">
+            <svg id="network" width="980" height="600"></svg>
+            <div id="collapse-overlay" hidden><span>NETWORK COLLAPSED</span></div>
+        </div>
         <div id="reward-panel">
-            <div class="bar-label">Energy loss</div>
+            <div class="bar-label">Energy loss <span id="eloss-val" class="bar-val"></span></div>
             <div class="bar"><div id="eloss-bar" class="bar-fill"></div></div>
-            <div class="bar-label">Penalty</div>
+            <div class="bar-label">Penalty <span id="penalty-val" class="bar-val"></span></div>
             <div class="bar"><div id="penalty-bar" class="bar-fill penalty"></div></div>
+            <div id="legend"></div>
             <div id="collapse-banner" hidden>NETWORK COLLAPSED</div>
         </div>
     </main>

@@ -1,37 +1,66 @@
 /* gym-anm-tpu browser visualization.
  *
- * A canvas renderer for the ANM rendering protocol: consumes the same
- * init/update JSON messages as the reference client but draws the network
- * procedurally from the init specs (device types, ratings, voltage limits)
- * instead of relying on a hand-drawn SVG.  Layout: slack bus on top, the
- * remaining buses on a rail below, devices hanging off their buses with
- * live P/Q bars, branch flow arrows shaded by loading, per-bus voltage
- * dials, storage state-of-charge gauge, curtailment markers.
+ * An SVG renderer for the ANM rendering protocol: consumes the same
+ * init/update JSON messages as the reference client (init.js:28-89) but
+ * builds the whole scene procedurally.  When the init message carries the
+ * optional "topology" extension ({busOfDevice, branches, slackBus}) the
+ * true grid graph is laid out as a tidy tree from the slack bus -- so any
+ * network renders correctly, not just a hand-drawn one; without it the
+ * client falls back to a star/rail layout.
+ *
+ * Scene per frame: busbars with voltage readouts (red on limit violation),
+ * branches shaded by loading with animated flow dashes and |S|/rate labels,
+ * device icons (grid/house/generator/renewable/battery) with signed P bars,
+ * curtailment ticks on renewables, battery state-of-charge fill, and the
+ * energy-loss / penalty bars of the reward signal.
  */
 "use strict";
 
-const DEV_NAMES = { "-1": "Load", 0: "Slack", 1: "Gen", 2: "RES", 3: "Storage" };
-const DEV_COLORS = { "-1": "#7f8c8d", 0: "#2c3e50", 1: "#8e44ad", 2: "#27ae60", 3: "#2980b9" };
+const SVGNS = "http://www.w3.org/2000/svg";
+const DEV_NAMES = { "-1": "load", 0: "grid", 1: "gen", 2: "RES", 3: "storage" };
+
+const COL = {
+  bus: "#2c3e50",
+  busBad: "#e74c3c",
+  wire: "#95a5a6",
+  text: "#2c3e50",
+  subtext: "#7f8c8d",
+  load: "#7f8c8d",
+  gen: "#8e44ad",
+  res: "#27ae60",
+  storage: "#2980b9",
+  slack: "#2c3e50",
+  pPos: "#27ae60",
+  pNeg: "#c0392b",
+  qBar: "#f39c12",
+  gauge: "#e5e8ea",
+  potential: "#f39c12",
+};
 
 let spec = null; // init message
 let frame = null; // latest update message
+let scene = null; // element handles built once from spec
+let dashPhase = 0;
 
-function init() {
+/* ------------------------------------------------------------------ */
+/* WebSocket plumbing                                                  */
+/* ------------------------------------------------------------------ */
+function connect() {
   const ws = new WebSocket(wsServerAddress);
   ws.onmessage = (ev) => {
     const msg = JSON.parse(ev.data);
     if (msg.messageLabel === "init") {
       spec = msg;
       document.getElementById("title").textContent = msg.title;
-      draw();
+      buildScene();
     } else if (msg.messageLabel === "update" && spec !== null) {
       frame = msg;
       updateClock(msg);
       updateReward(msg);
-      draw();
+      applyFrame(msg);
     }
   };
-  ws.onclose = () => setTimeout(init, 1000);
+  ws.onclose = () => setTimeout(connect, 1000);
 }
 
 function updateClock(msg) {
@@ -48,26 +77,134 @@ function updateReward(msg) {
   const pb = document.getElementById("penalty-bar");
   eb.style.width = Math.min(100, (100 * Math.abs(eloss)) / spec.energyLossMax) + "%";
   pb.style.width = Math.min(100, (100 * penalty) / spec.penaltyMax) + "%";
+  document.getElementById("eloss-val").textContent = eloss.toFixed(3);
+  document.getElementById("penalty-val").textContent = penalty.toFixed(3);
   document.getElementById("collapse-banner").hidden = !msg.networkCollapsed;
+  document.getElementById("collapse-overlay").hidden = !msg.networkCollapsed;
 }
 
-function busLayout(nBus, W, H) {
-  // Slack bus centered on top, other buses evenly spaced on a lower rail.
-  const pts = [{ x: W / 2, y: 70 }];
-  const n = nBus - 1;
-  for (let i = 0; i < n; i++) {
-    pts.push({ x: ((i + 1) * W) / (n + 1), y: H / 2 });
+/* ------------------------------------------------------------------ */
+/* Topology + layout                                                   */
+/* ------------------------------------------------------------------ */
+function topologyOf(spec) {
+  const nBus = spec.vMagnMin.length;
+  if (spec.topology) return spec.topology;
+  // Fallback (no topology in init): star from bus 0 + rail, round-robin
+  // devices over the non-slack buses.
+  const branches = [];
+  for (let i = 1; i < nBus && branches.length < spec.sRate.length; i++) branches.push([0, i]);
+  for (let i = 1; i + 1 < nBus && branches.length < spec.sRate.length; i++) branches.push([i, i + 1]);
+  const busOfDevice = [];
+  let rr = 0;
+  for (const t of spec.deviceType) {
+    if (t === 0) busOfDevice.push(0);
+    else busOfDevice.push(1 + (rr++ % Math.max(1, nBus - 1)));
   }
-  return pts;
+  return { busOfDevice, branches, slackBus: 0 };
 }
 
-function branchEndpoints(nBus) {
-  // Without topology in the init message, draw a star from the slack bus
-  // plus a rail between adjacent lower buses; flows map to sFlows order.
-  const edges = [];
-  for (let i = 1; i < nBus && edges.length < spec.sRate.length; i++) edges.push([0, i]);
-  for (let i = 1; i + 1 < nBus && edges.length < spec.sRate.length; i++) edges.push([i, i + 1]);
-  return edges;
+/* Tidy tree layout: BFS tree from the slack bus; a node's width is
+ * max(its device row, sum of its children); leaves pack left-to-right.
+ * Non-tree (loop-closing) branches render as dashed arcs. */
+function layout(spec, topo) {
+  const nBus = spec.vMagnMin.length;
+  const devsOfBus = Array.from({ length: nBus }, () => []);
+  topo.busOfDevice.forEach((b, d) => devsOfBus[b].push(d));
+
+  const adj = Array.from({ length: nBus }, () => []);
+  topo.branches.forEach(([f, t], k) => {
+    adj[f].push([t, k]);
+    adj[t].push([f, k]);
+  });
+
+  const parent = new Array(nBus).fill(-1);
+  const depth = new Array(nBus).fill(-1);
+  const children = Array.from({ length: nBus }, () => []);
+  const treeEdge = new Array(topo.branches.length).fill(false);
+  const order = [];
+  depth[topo.slackBus] = 0;
+  const queue = [topo.slackBus];
+  while (queue.length) {
+    const u = queue.shift();
+    order.push(u);
+    for (const [v, k] of adj[u]) {
+      if (depth[v] === -1) {
+        depth[v] = depth[u] + 1;
+        parent[v] = u;
+        children[u].push(v);
+        treeEdge[k] = true;
+        queue.push(v);
+      }
+    }
+  }
+  // Disconnected buses (shouldn't happen on valid specs): park them at depth 1.
+  for (let i = 0; i < nBus; i++) if (depth[i] === -1) { depth[i] = 1; order.push(i); }
+
+  const DEV_W = 64; // width per device column
+  const BUS_MIN_W = 56;
+  const GAP = 26;
+  const LEVEL_H = 168;
+
+  const width = new Array(nBus).fill(0);
+  for (let i = order.length - 1; i >= 0; i--) {
+    const u = order[i];
+    const own = Math.max(BUS_MIN_W, devsOfBus[u].length * DEV_W);
+    const kids = children[u].reduce((s, c) => s + width[c], 0) + GAP * Math.max(0, children[u].length - 1);
+    width[u] = Math.max(own, kids);
+  }
+  const x = new Array(nBus).fill(0);
+  const y = new Array(nBus).fill(0);
+  const placeAt = (u, left) => {
+    x[u] = left + width[u] / 2;
+    y[u] = 64 + depth[u] * LEVEL_H;
+    let cl = left + (width[u] - (children[u].reduce((s, c) => s + width[c], 0) + GAP * Math.max(0, children[u].length - 1))) / 2;
+    for (const c of children[u]) {
+      placeAt(c, cl);
+      cl += width[c] + GAP;
+    }
+  };
+  placeAt(topo.slackBus, 24);
+  // Any parked disconnected buses: shove to the right of the tree.
+  let rightEdge = 24 + width[topo.slackBus] + GAP;
+  for (let i = 0; i < nBus; i++) {
+    if (parent[i] === -1 && i !== topo.slackBus) {
+      x[i] = rightEdge + width[i] / 2;
+      y[i] = 64 + depth[i] * LEVEL_H;
+      rightEdge += width[i] + GAP;
+    }
+  }
+
+  const maxDepth = Math.max(...depth);
+  return {
+    devsOfBus,
+    x,
+    y,
+    busW: (u) => Math.max(BUS_MIN_W, devsOfBus[u].length * DEV_W),
+    treeEdge,
+    W: Math.max(rightEdge + 24, 640),
+    H: 64 + (maxDepth + 1) * LEVEL_H + 36,
+    DEV_W,
+  };
+}
+
+/* ------------------------------------------------------------------ */
+/* SVG helpers                                                         */
+/* ------------------------------------------------------------------ */
+function el(tag, attrs, parent) {
+  const e = document.createElementNS(SVGNS, tag);
+  for (const k in attrs) e.setAttribute(k, attrs[k]);
+  if (parent) parent.appendChild(e);
+  return e;
+}
+
+function txt(parent, x, y, s, size, fill, anchor) {
+  const t = el(
+    "text",
+    { x, y, "font-size": size || 11, fill: fill || COL.text, "text-anchor": anchor || "middle" },
+    parent
+  );
+  t.textContent = s;
+  return t;
 }
 
 function loadColor(frac) {
@@ -79,138 +216,242 @@ function loadColor(frac) {
   return `rgb(${r},${g},${b})`;
 }
 
-function draw() {
-  if (spec === null) return;
-  const canvas = document.getElementById("network");
-  const ctx = canvas.getContext("2d");
-  const W = canvas.width;
-  const H = canvas.height;
-  ctx.clearRect(0, 0, W, H);
+/* Device icons, drawn in a 28x28 box centered on (0, 0). */
+function drawIcon(g, type) {
+  if (type === 0) {
+    // External grid: pylon triangle + crossarms.
+    el("path", { d: "M -9 12 L 0 -12 L 9 12 Z", fill: "none", stroke: COL.slack, "stroke-width": 2 }, g);
+    el("line", { x1: -11, y1: -4, x2: 11, y2: -4, stroke: COL.slack, "stroke-width": 2 }, g);
+    el("line", { x1: -8, y1: 3, x2: 8, y2: 3, stroke: COL.slack, "stroke-width": 2 }, g);
+  } else if (type === -1) {
+    // Load: house.
+    el("path", { d: "M -10 0 L 0 -11 L 10 0 Z", fill: COL.load }, g);
+    el("rect", { x: -7, y: 0, width: 14, height: 11, fill: COL.load }, g);
+    el("rect", { x: -2, y: 4, width: 4, height: 7, fill: "#fff" }, g);
+  } else if (type === 1) {
+    // Classical generator: circle with a sine wave.
+    el("circle", { cx: 0, cy: 0, r: 11, fill: "none", stroke: COL.gen, "stroke-width": 2.5 }, g);
+    el("path", { d: "M -6 0 Q -3 -7 0 0 T 6 0", fill: "none", stroke: COL.gen, "stroke-width": 2 }, g);
+  } else if (type === 2) {
+    // Renewable: sun (circle + rays).
+    el("circle", { cx: 0, cy: 0, r: 6, fill: COL.res }, g);
+    for (let i = 0; i < 8; i++) {
+      const a = (i * Math.PI) / 4;
+      el(
+        "line",
+        {
+          x1: 8.5 * Math.cos(a), y1: 8.5 * Math.sin(a),
+          x2: 12 * Math.cos(a), y2: 12 * Math.sin(a),
+          stroke: COL.res, "stroke-width": 2, "stroke-linecap": "round",
+        },
+        g
+      );
+    }
+  } else if (type === 3) {
+    // Battery shell; the SoC fill is a separate dynamic rect.
+    el("rect", { x: -9, y: -11, width: 18, height: 22, rx: 2, fill: "none", stroke: COL.storage, "stroke-width": 2 }, g);
+    el("rect", { x: -4, y: -14, width: 8, height: 3, fill: COL.storage }, g);
+  }
+}
 
-  const nDev = spec.deviceType.length;
-  const nBus = spec.vMagnMin.length;
-  const buses = busLayout(nBus, W, H);
-  const edges = branchEndpoints(nBus);
+/* ------------------------------------------------------------------ */
+/* Scene construction (once per init)                                  */
+/* ------------------------------------------------------------------ */
+function buildScene() {
+  const svg = document.getElementById("network");
+  svg.innerHTML = "";
+  const topo = topologyOf(spec);
+  const L = layout(spec, topo);
+  svg.setAttribute("viewBox", `0 0 ${L.W} ${L.H}`);
+  svg.setAttribute("width", Math.min(1180, L.W));
+  svg.setAttribute("height", Math.min(760, L.H));
 
-  // Branches with loading shading + flow labels.
-  ctx.lineWidth = 4;
-  edges.forEach(([a, b], k) => {
-    const s = frame ? Math.abs(frame.sFlows[k]) : 0;
-    const frac = spec.sRate[k] > 0 ? s / spec.sRate[k] : 0;
-    ctx.strokeStyle = loadColor(frac);
-    ctx.beginPath();
-    ctx.moveTo(buses[a].x, buses[a].y);
-    ctx.lineTo(buses[b].x, buses[b].y);
-    ctx.stroke();
-    const mx = (buses[a].x + buses[b].x) / 2;
-    const my = (buses[a].y + buses[b].y) / 2;
-    ctx.fillStyle = "#333";
-    ctx.font = "11px sans-serif";
-    if (frame) ctx.fillText(`${s.toFixed(1)}/${spec.sRate[k].toFixed(0)} MVA`, mx + 6, my - 6);
-  });
+  const gBranches = el("g", {}, svg);
+  const gBuses = el("g", {}, svg);
+  const gDevs = el("g", {}, svg);
 
-  // Buses: voltage dial (colored by limit violation).
-  buses.forEach((p, i) => {
-    const v = frame ? frame.vMagn[i] : 1.0;
-    const bad = v < spec.vMagnMin[i] - 1e-9 || v > spec.vMagnMax[i] + 1e-9;
-    ctx.fillStyle = bad ? "#e74c3c" : "#2c3e50";
-    ctx.beginPath();
-    ctx.arc(p.x, p.y, 9, 0, 2 * Math.PI);
-    ctx.fill();
-    ctx.fillStyle = "#333";
-    ctx.font = "12px sans-serif";
-    ctx.fillText(`bus ${i}`, p.x - 14, p.y - 14);
-    if (frame) ctx.fillText(`${v.toFixed(3)} pu`, p.x - 22, p.y + 26);
-  });
+  scene = { branches: [], buses: [], devices: [], topo, L };
 
-  // Devices: distribute below non-slack buses round-robin; slack device at top.
-  let rr = 0;
-  const devPos = [];
-  for (let d = 0; d < nDev; d++) {
-    if (spec.deviceType[d] === 0) {
-      devPos.push({ x: buses[0].x, y: buses[0].y - 40 });
+  // Branches.
+  topo.branches.forEach(([f, t], k) => {
+    const x1 = L.x[f], y1 = L.y[f], x2 = L.x[t], y2 = L.y[t];
+    let d;
+    if (L.treeEdge[k]) {
+      d = `M ${x1} ${y1} L ${x1} ${(y1 + y2) / 2} L ${x2} ${(y1 + y2) / 2} L ${x2} ${y2}`;
     } else {
-      const bus = 1 + (rr % (nBus - 1));
-      const stack = Math.floor(rr / (nBus - 1));
-      devPos.push({ x: buses[bus].x - 30 + 60 * (stack % 2), y: H / 2 + 110 + 90 * Math.floor(stack / 2) });
-      rr += 1;
+      // Loop-closing edge: arc around the tree.
+      const mx = (x1 + x2) / 2 + 40, my = (y1 + y2) / 2;
+      d = `M ${x1} ${y1} Q ${mx} ${my} ${x2} ${y2}`;
     }
-  }
-
-  devPos.forEach((p, d) => {
-    const type = spec.deviceType[d];
-    ctx.fillStyle = DEV_COLORS[type] || "#555";
-    ctx.fillRect(p.x - 26, p.y - 16, 52, 32);
-    ctx.fillStyle = "#fff";
-    ctx.font = "11px sans-serif";
-    ctx.fillText(DEV_NAMES[type] || "?", p.x - 20, p.y + 4);
-
-    if (frame) {
-      const pInj = frame.pInjections[d];
-      const qInj = frame.qInjections[d];
-      // P bar (signed) scaled by pMax.
-      const w = 60;
-      const frac = spec.pMax[d] > 0 ? pInj / spec.pMax[d] : 0;
-      ctx.fillStyle = "#ddd";
-      ctx.fillRect(p.x - w / 2, p.y + 22, w, 7);
-      ctx.fillStyle = frac >= 0 ? "#27ae60" : "#c0392b";
-      const bw = (Math.min(1, Math.abs(frac)) * w) / 2;
-      ctx.fillRect(p.x + (frac >= 0 ? 0 : -bw), p.y + 22, bw, 7);
-      ctx.fillStyle = "#333";
-      ctx.fillText(`P ${pInj.toFixed(1)} MW  Q ${qInj.toFixed(1)}`, p.x - 38, p.y + 44);
-
-      // Curtailment marker for renewables.
-      if (type === 2) {
-        const idxRES = spec.deviceType.slice(0, d).filter((t) => t === 1 || t === 2).length;
-        const pot = frame.pPotential[idxRES];
-        if (isFinite(pot)) {
-          const px = p.x - w / 2 + (Math.min(1, pot / spec.pMax[d]) * w) / 1;
-          ctx.strokeStyle = "#f39c12";
-          ctx.lineWidth = 2;
-          ctx.beginPath();
-          ctx.moveTo(p.x - w / 2 + Math.min(1, pot / spec.pMax[d]) * w, p.y + 19);
-          ctx.lineTo(p.x - w / 2 + Math.min(1, pot / spec.pMax[d]) * w, p.y + 32);
-          ctx.stroke();
-        }
-      }
-
-      // Storage SoC gauge.
-      if (type === 3) {
-        const idxDES = spec.deviceType.slice(0, d).filter((t) => t === 3).length;
-        const soc = frame.socStorage[idxDES];
-        const maxSoc = spec.socMax[idxDES];
-        ctx.fillStyle = "#ddd";
-        ctx.fillRect(p.x + 34, p.y - 16, 8, 32);
-        const hgt = Math.min(1, soc / maxSoc) * 32;
-        ctx.fillStyle = "#2980b9";
-        ctx.fillRect(p.x + 34, p.y + 16 - hgt, 8, hgt);
-        ctx.fillStyle = "#333";
-        ctx.fillText(`${soc.toFixed(0)} MWh`, p.x + 30, p.y + 44);
-      }
-    }
-
-    // Connector to its bus (nearest non-slack bus / slack).
-    ctx.strokeStyle = "#95a5a6";
-    ctx.lineWidth = 1.5;
-    const bp = spec.deviceType[d] === 0 ? buses[0] : nearestBus(buses, p);
-    ctx.beginPath();
-    ctx.moveTo(p.x, p.y - (spec.deviceType[d] === 0 ? -16 : 16));
-    ctx.lineTo(bp.x, bp.y);
-    ctx.stroke();
+    const base = el("path", { d, fill: "none", stroke: "#d5dbdd", "stroke-width": 5 }, gBranches);
+    const flow = el(
+      "path",
+      { d, fill: "none", stroke: COL.wire, "stroke-width": 3, "stroke-dasharray": "7 7" },
+      gBranches
+    );
+    const lbl = txt(gBranches, (x1 + x2) / 2 + 6, (y1 + y2) / 2 - 6, "", 10, COL.subtext, "start");
+    scene.branches.push({ base, flow, lbl, len: base.getTotalLength ? base.getTotalLength() : 100 });
   });
+
+  // Buses.
+  for (let i = 0; i < L.x.length; i++) {
+    const w = L.busW(i);
+    const bar = el(
+      "rect",
+      { x: L.x[i] - w / 2, y: L.y[i] - 3, width: w, height: 6, rx: 3, fill: COL.bus },
+      gBuses
+    );
+    txt(gBuses, L.x[i] - w / 2 - 6, L.y[i] + 4, `B${i}`, 11, COL.subtext, "end");
+    const vLbl = txt(gBuses, L.x[i] + w / 2 + 6, L.y[i] + 4, "", 11, COL.text, "start");
+    scene.buses.push({ bar, vLbl });
+  }
+
+  // Devices: a row under their bus.
+  for (let i = 0; i < L.x.length; i++) {
+    const devs = L.devsOfBus[i];
+    devs.forEach((d, j) => {
+      const cx = L.x[i] - (devs.length * L.DEV_W) / 2 + L.DEV_W * (j + 0.5);
+      const type = spec.deviceType[d];
+      const topY = L.y[i] + 3;
+      const iconY = L.y[i] + 42;
+      el("line", { x1: cx, y1: topY, x2: cx, y2: iconY - 16, stroke: COL.wire, "stroke-width": 1.5 }, gDevs);
+      const g = el("g", { transform: `translate(${cx}, ${iconY})` }, gDevs);
+      drawIcon(g, type);
+      const name = txt(gDevs, cx, iconY + 24, `${DEV_NAMES[type]} ${d}`, 9.5, COL.subtext);
+
+      // Gauges under the icon: signed P bar (+ potential tick), SoC fill.
+      const gw = 48;
+      const gy = iconY + 30;
+      el("rect", { x: cx - gw / 2, y: gy, width: gw, height: 6, rx: 2, fill: COL.gauge }, gDevs);
+      el("line", { x1: cx, y1: gy - 1, x2: cx, y2: gy + 7, stroke: "#b7bec1", "stroke-width": 1 }, gDevs);
+      const pBar = el("rect", { x: cx, y: gy, width: 0, height: 6, fill: COL.pPos }, gDevs);
+      const pLbl = txt(gDevs, cx, gy + 17, "", 9.5, COL.text);
+      let potTick = null;
+      let socFill = null;
+      if (type === 1 || type === 2) {
+        potTick = el("line", { x1: cx, y1: gy - 2, x2: cx, y2: gy + 8, stroke: COL.potential, "stroke-width": 2 }, gDevs);
+      }
+      if (type === 3) {
+        // Fill inside the battery shell drawn at (cx-9, iconY-11), 18x22.
+        socFill = el("rect", { x: cx - 7, y: iconY + 9, width: 14, height: 0, fill: COL.storage, opacity: 0.85 }, gDevs);
+      }
+      scene.devices.push({ d, type, cx, gy, gw, pBar, pLbl, potTick, socFill, iconY });
+    });
+  }
+  // Index maps for update vectors: pPotential is over non-slack generators
+  // (types 1 and 2) in device order; socStorage over type-3 devices.
+  let gi = 0, si = 0;
+  const genIndex = {}, socIndex = {};
+  spec.deviceType.forEach((t, d) => {
+    if (t === 1 || t === 2) genIndex[d] = gi++;
+    if (t === 3) socIndex[d] = si++;
+  });
+  scene.genIndex = genIndex;
+  scene.socIndex = socIndex;
+
+  buildLegend();
+  if (frame) applyFrame(frame);
 }
 
-function nearestBus(buses, p) {
-  let best = buses[1];
-  let bd = Infinity;
-  for (let i = 1; i < buses.length; i++) {
-    const d = Math.abs(buses[i].x - p.x);
-    if (d < bd) {
-      bd = d;
-      best = buses[i];
+function buildLegend() {
+  const box = document.getElementById("legend");
+  box.innerHTML = "<div class='bar-label'>Legend</div>";
+  const rows = [
+    ["grid (slack)", COL.slack],
+    ["load", COL.load],
+    ["generator", COL.gen],
+    ["renewable", COL.res],
+    ["storage", COL.storage],
+    ["potential / curtailment", COL.potential],
+  ];
+  for (const [name, color] of rows) {
+    const r = document.createElement("div");
+    r.className = "legend-row";
+    r.innerHTML = `<span class="legend-dot" style="background:${color}"></span>${name}`;
+    box.appendChild(r);
+  }
+}
+
+/* ------------------------------------------------------------------ */
+/* Frame application                                                   */
+/* ------------------------------------------------------------------ */
+function applyFrame(msg) {
+  if (!scene) return;
+
+  // Branches: loading color, |S|/rate label, dash direction.
+  scene.branches.forEach((br, k) => {
+    const s = msg.sFlows[k];
+    const mag = Math.abs(s);
+    const rate = spec.sRate[k];
+    const frac = rate > 0 && isFinite(rate) ? mag / rate : 0;
+    br.flow.setAttribute("stroke", loadColor(frac));
+    br.flow.setAttribute("stroke-width", frac > 1 ? 4.5 : 3);
+    br.lbl.textContent = isFinite(rate)
+      ? `${mag.toFixed(1)}/${rate.toFixed(0)} MVA`
+      : `${mag.toFixed(1)} MVA`;
+    br.dir = s >= 0 ? 1 : -1;
+    br.speed = Math.min(3, 0.4 + 2.6 * frac);
+  });
+
+  // Buses: voltage readout, red when out of bounds.
+  scene.buses.forEach((b, i) => {
+    const v = msg.vMagn[i];
+    const bad = v < spec.vMagnMin[i] - 1e-9 || v > spec.vMagnMax[i] + 1e-9;
+    b.bar.setAttribute("fill", bad ? COL.busBad : COL.bus);
+    b.vLbl.textContent = `${v.toFixed(3)} pu`;
+    b.vLbl.setAttribute("fill", bad ? COL.busBad : COL.text);
+  });
+
+  // Devices: P bar, labels, curtailment tick, SoC fill.
+  for (const dv of scene.devices) {
+    const p = msg.pInjections[dv.d];
+    const q = msg.qInjections[dv.d];
+    const pmax = spec.pMax[dv.d];
+    const frac = pmax > 0 && isFinite(pmax) ? Math.max(-1, Math.min(1, p / pmax)) : 0;
+    const w = (Math.abs(frac) * dv.gw) / 2;
+    dv.pBar.setAttribute("x", frac >= 0 ? dv.cx : dv.cx - w);
+    dv.pBar.setAttribute("width", w);
+    dv.pBar.setAttribute("fill", frac >= 0 ? COL.pPos : COL.pNeg);
+    dv.pLbl.textContent = `${p.toFixed(1)} MW / ${q.toFixed(1)} MVAr`;
+
+    if (dv.potTick && dv.type === 2) {
+      const pot = msg.pPotential[scene.genIndex[dv.d]];
+      if (isFinite(pot) && pmax > 0) {
+        const px = dv.cx + (Math.max(-1, Math.min(1, pot / pmax)) * dv.gw) / 2;
+        dv.potTick.setAttribute("x1", px);
+        dv.potTick.setAttribute("x2", px);
+        dv.potTick.setAttribute("visibility", "visible");
+      } else {
+        dv.potTick.setAttribute("visibility", "hidden");
+      }
+    } else if (dv.potTick) {
+      dv.potTick.setAttribute("visibility", "hidden");
+    }
+
+    if (dv.socFill) {
+      const soc = msg.socStorage[scene.socIndex[dv.d]];
+      const maxSoc = spec.socMax[scene.socIndex[dv.d]];
+      const f = maxSoc > 0 ? Math.max(0, Math.min(1, soc / maxSoc)) : 0;
+      const h = 18 * f;
+      dv.socFill.setAttribute("height", h);
+      dv.socFill.setAttribute("y", dv.iconY + 9 - h);
     }
   }
-  return best;
 }
 
-init();
+/* Dash animation: offset moves along the flow direction, faster when the
+ * branch is more loaded. */
+function tick() {
+  dashPhase += 1;
+  if (scene) {
+    for (const br of scene.branches) {
+      const dir = br.dir || 1;
+      const speed = br.speed || 0.5;
+      br.flow.setAttribute("stroke-dashoffset", String((-dashPhase * speed * dir) % 14));
+    }
+  }
+  requestAnimationFrame(tick);
+}
+
+connect();
+requestAnimationFrame(tick);

@@ -30,6 +30,11 @@ def test_render_protocol_end_to_end():
             assert len(init_msg["sRate"]) == 5
             assert init_msg["vMagnMin"] == [1.0, 0.9, 0.9, 0.9, 0.9, 0.9]
             assert init_msg["energyLossMax"] == 1 and init_msg["penaltyMax"] == 100
+            # Topology extension: the true ANM6 grid graph (network.py:49-82).
+            topo = init_msg["topology"]
+            assert topo["slackBus"] == 0
+            assert topo["busOfDevice"] == [0, 3, 3, 4, 4, 5, 5]
+            assert topo["branches"] == [[0, 1], [1, 2], [1, 3], [2, 4], [2, 5]]
 
             # The HTTP server serves the client page.
             import requests
