@@ -23,11 +23,14 @@ OUT = os.path.join(DOCS, "site")
 
 PAGES = [
     ("index", os.path.join(ROOT, "README.md"), "Overview"),
+    ("quickstart", os.path.join(DOCS, "quickstart.md"), "Quickstart"),
     ("using_envs", os.path.join(DOCS, "using_envs.md"), "Using environments"),
+    ("anm6_easy", os.path.join(DOCS, "anm6_easy.md"), "The ANM6Easy task"),
     ("designing_environments", os.path.join(DOCS, "designing_environments.md"), "Designing environments"),
     ("batching_and_scaling", os.path.join(DOCS, "batching_and_scaling.md"), "Batching & scaling"),
     ("mpc", os.path.join(DOCS, "mpc.md"), "MPC baselines"),
     ("rendering", os.path.join(DOCS, "rendering.md"), "Rendering"),
+    ("api", os.path.join(DOCS, "api.md"), "API reference"),
     ("quirks", os.path.join(DOCS, "quirks.md"), "Quirk ledger"),
 ]
 
