@@ -67,7 +67,7 @@ def main():
 
     # Time each program call separately and report the median: single-shot
     # wall timing is noisy on tunneled/queued device runtimes.
-    keys = jax.random.split(k_run, args.iters)
+    keys = list(jax.random.split(k_run, args.iters))  # materialized outside the timed region
     times = []
     for i in range(args.iters):
         t0 = time.time()

@@ -231,6 +231,15 @@ def transition(
         and p_in.dtype == jnp.float32
         and any(p_in.shape[0] % t == 0 for t in tile_budget)
     )
+    # The flat-start Jacobian inverse is a pure function of the (static,
+    # NumPy) admittance matrix: invert on the host at trace time so it
+    # folds into the program as a constant instead of an LU solve that
+    # would re-run inside every scan step (ops/power_flow.py docstring).
+    J0inv = None
+    if isinstance(spec.Y_re, np.ndarray) and isinstance(spec.Y_im, np.ndarray):
+        from ..ops.power_flow import flat_start_jacobian_inv_np
+
+        J0inv = flat_start_jacobian_inv_np(spec.Y_re, spec.Y_im, dtype=spec.dtype)
     if use_pallas:
         from ..ops.pallas_nr import solve_pfe_pallas
 
@@ -238,13 +247,13 @@ def transition(
         tile = next(t for t in tile_budget if B % t == 0)
         v_re, v_im, _, _, converged = solve_pfe_pallas(
             spec.Y_re, spec.Y_im, p_in, q_in, x_tol=x_tol, max_iter=max_iter, tile=tile,
-            chord_iters=chord_iters if pf_method == "hybrid" else 0,
+            chord_iters=chord_iters if pf_method == "hybrid" else 0, J0inv=J0inv,
         )
     else:
         method = {"pallas": "scan"}.get(pf_method, pf_method)
         v_re, v_im, _, _, converged = solve_pfe(
             spec.Y_re, spec.Y_im, p_in, q_in, x_tol=x_tol, max_iter=max_iter, method=method,
-            chord_iters=chord_iters,
+            chord_iters=chord_iters, J0inv=J0inv,
         )
 
     # Nodal currents I = Y V and slack power (solve_load_flow.py:54-72;

@@ -189,13 +189,17 @@ def _nr_tile_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("x_tol", "max_iter", "tile", "chord_iters"))
-def solve_pfe_pallas(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=10, tile=DEFAULT_TILE, chord_iters=0):
+def solve_pfe_pallas(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=10, tile=DEFAULT_TILE, chord_iters=0, J0inv=None):
     """Batched NR solve via the fused VMEM kernel.
 
     p, q: [B, m] float32 with B a multiple of ``tile``.  With
     ``chord_iters > 0``, prepends that many chord iterations with the
     constant flat-start Jacobian inverse (see ops/power_flow.py
     ``method="hybrid"``) before the ``max_iter`` true-NR iterations.
+    Pass ``J0inv`` (e.g. from ``flat_start_jacobian_inv_np``) to avoid
+    re-deriving it from Y inside this jit, where Y is a tracer and the
+    inversion cannot constant-fold (callers with a static GridSpec should
+    always pass it -- see core/transition.py).
     Returns (v_re [B, n], v_im [B, n], diff [B], n_iter [B], converged [B]).
     """
     B, m = p.shape
@@ -204,10 +208,11 @@ def solve_pfe_pallas(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=10, tile=DEFAULT_TIL
     pT = p.T  # [m, B]
     qT = q.T
 
-    from .power_flow import flat_start_jacobian_inv
+    if J0inv is None:
+        from .power_flow import flat_start_jacobian_inv
 
-    # Constant-folded at compile time when Y is a trace-time constant.
-    J0inv = flat_start_jacobian_inv(Y_re.astype(p.dtype), Y_im.astype(p.dtype))
+        J0inv = flat_start_jacobian_inv(Y_re.astype(p.dtype), Y_im.astype(p.dtype))
+    J0inv = jnp.asarray(J0inv, dtype=p.dtype)
 
     grid = (B // tile,)
     kernel = functools.partial(

@@ -38,6 +38,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -145,6 +147,36 @@ def _jacobian(v_re, v_im, i_re, i_im, Y_re, Y_im):
     return jnp.concatenate([top, bot], axis=0)  # [2m, 2m, B]
 
 
+def flat_start_jacobian_inv_np(Y_re, Y_im, dtype=None):
+    """Trace-time (NumPy) version of :func:`flat_start_jacobian_inv`.
+
+    The flat-start Jacobian depends only on the admittance matrix, which is
+    a static ``GridSpec`` leaf (NumPy), so callers outside the solver's jit
+    boundary can compute the inverse on the host and let it fold into the
+    compiled program as a constant.  Computing it *inside* the jitted
+    solvers instead materializes an LU custom-call + several fusions in the
+    compiled step -- inside a ``lax.scan`` body that work re-runs every
+    step.  Computed in float64, cast to ``dtype`` (default: Y's dtype).
+    """
+    Y = np.asarray(Y_re, np.float64) + 1j * np.asarray(Y_im, np.float64)
+    n = Y.shape[0]
+    v = np.ones(n, dtype=complex)  # flat start: theta=0, |V|=1
+    i0 = Y @ v
+    w = np.diag(i0) - Y * v[None, :]  # delta_ik (Yv)_i - Y_ik v_k
+    dSa = 1j * v[:, None] * np.conj(w)
+    vn = v / np.abs(v)
+    u = Y * vn[None, :]
+    dSm = np.diag(vn * np.conj(i0)) + v[:, None] * np.conj(u)
+    J0 = np.block(
+        [
+            [dSa[1:, 1:].real, dSm[1:, 1:].real],
+            [dSa[1:, 1:].imag, dSm[1:, 1:].imag],
+        ]
+    )
+    out_dt = dtype if dtype is not None else np.asarray(Y_re).dtype
+    return np.linalg.inv(J0).astype(out_dt)
+
+
 def flat_start_jacobian_inv(Y_re, Y_im):
     """Inverse of the flat-start NR Jacobian, which depends only on Y.
 
@@ -164,7 +196,7 @@ def flat_start_jacobian_inv(Y_re, Y_im):
 
 
 @partial(jax.jit, static_argnames=("max_iter", "method", "chord_iters"))
-def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan", chord_iters=16):
+def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan", chord_iters=16, J0inv=None):
     """Newton-Raphson solve of the AC power-flow equations.
 
     Parameters
@@ -216,7 +248,9 @@ def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan", chord_i
 
     n_chord = jnp.zeros((B,), dtype=jnp.int32)
     if method == "hybrid" and chord_iters > 0:
-        J0inv = flat_start_jacobian_inv(Y_re.astype(dt), Y_im.astype(dt))
+        if J0inv is None:
+            J0inv = flat_start_jacobian_inv(Y_re.astype(dt), Y_im.astype(dt))
+        J0inv = jnp.asarray(J0inv, dtype=dt)
 
         def chord_body(c, _):
             theta, vm, F, diff, it = c
