@@ -55,6 +55,27 @@ class EnvState:
     state_vec: jax.Array  # [state_n]
 
 
+class LeanEnvState(NamedTuple):
+    """Minimal rollout carry: exactly the ``EnvState`` content the next
+    ``step()`` reads (``sim.des_soc``, ``aux``, ``terminated``,
+    ``state_vec``).
+
+    Scanning over a full :class:`EnvState` forces XLA to compute, mask, and
+    carry every diagnostic ``SimState`` field (branch currents/flows, bus
+    currents/injections) on every step, because the final carry is a live
+    program output.  Carrying this projection instead lets the while-loop
+    simplifier dead-code-eliminate everything the dynamics don't actually
+    depend on.  Only valid when observations are derived from the canonical
+    state vector (see :attr:`EnvCore.obs_from_state_vec`); rebuild a full
+    state with :meth:`EnvCore.unlean` (unread sim fields become zeros).
+    """
+
+    des_soc: jax.Array  # [n_des]
+    aux: jax.Array  # [K]
+    terminated: jax.Array  # [] bool
+    state_vec: jax.Array  # [state_n]
+
+
 class StepOut(NamedTuple):
     obs: jax.Array
     reward: jax.Array
@@ -174,7 +195,33 @@ class EnvCore:
         self.expected_vars_n = spec.n_load + spec.n_gen + self.K
 
     # ------------------------------------------------------------------
-    def state_vec(self, es: EnvState) -> jax.Array:
+    @property
+    def obs_from_state_vec(self) -> bool:
+        """True when observations never read raw ``SimState`` fields (the
+        fully-observable fast path, a callable ``obs_fn``, or host-side
+        observations) -- the condition under which the lean rollout carry
+        is exact."""
+        return self.obs_gather is None or self._obs_is_state
+
+    def lean(self, es) -> LeanEnvState:
+        """Project an ``EnvState`` onto the minimal rollout carry."""
+        if isinstance(es, LeanEnvState):
+            return es
+        return LeanEnvState(
+            des_soc=es.sim.des_soc, aux=es.aux, terminated=es.terminated, state_vec=es.state_vec
+        )
+
+    def unlean(self, lean) -> EnvState:
+        """Rebuild a steppable ``EnvState`` from a lean carry.
+
+        The sim fields ``step()`` never reads are filled with (broadcast)
+        zeros; they must not be observed directly."""
+        if isinstance(lean, EnvState):
+            return lean
+        sim = dataclasses.replace(zeros_state(self.spec), des_soc=lean.des_soc)
+        return EnvState(sim=sim, aux=lean.aux, terminated=lean.terminated, state_vec=lean.state_vec)
+
+    def state_vec(self, es) -> jax.Array:
         """The canonical state vector s_t (cached on the EnvState)."""
         return es.state_vec
 

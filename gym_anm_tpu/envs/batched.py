@@ -120,13 +120,24 @@ class BatchedEnv:
         )
 
     # ------------------------------------------------------------------
-    def rollout_fn(self, policy_fn: Optional[Callable] = None, n_steps: int = 1):
+    def rollout_fn(self, policy_fn: Optional[Callable] = None, n_steps: int = 1, lean: Optional[bool] = None):
         """Build a jittable rollout ``run(es, key, policy_args=None)``.
 
         ``policy_fn(policy_args, obs, key) -> [B, action_n]`` selects
         actions from batched observations; if None, actions are sampled
         uniformly from the action space (and per-step observations are not
         materialized -- the throughput-bench path).
+
+        ``lean`` controls the scan carry: when True the loop carries only
+        the :class:`~gym_anm_tpu.core.env_core.LeanEnvState` projection, so
+        XLA dead-code-eliminates the diagnostic SimState fields (branch
+        currents/flows, bus quantities) every step instead of computing,
+        masking, and carrying all of them.  Defaults to automatic: lean
+        whenever observations never read raw sim fields
+        (``core.obs_from_state_vec``).  With lean on, ``run`` returns a
+        ``LeanEnvState`` -- accepted back by ``run`` and by any ``EnvCore``
+        API that only needs the dynamics state (``core.unlean`` rebuilds a
+        full state with zeroed diagnostics).
 
         Returns ``(es, traj)`` where ``traj`` is ``(reward, terminated)``
         stacked over time for the uniform policy, and
@@ -137,6 +148,8 @@ class BatchedEnv:
         hi = jnp.asarray(core.action_high, dtype=core.spec.dtype)
         B = self.batch_size
         need_obs = policy_fn is not None
+        if lean is None:
+            lean = core.obs_from_state_vec
 
         def uniform_policy(_, obs, key):
             u = jax.random.uniform(key, (B, core.action_n), core.spec.dtype)
@@ -146,14 +159,20 @@ class BatchedEnv:
 
         def body(carry, key):
             es, policy_args = carry
+            if lean:
+                es = core.unlean(es)
             k_act, k_step = jax.random.split(key)
             obs = core.observation(es) if need_obs else None
             actions = pol(policy_args, obs, k_act)
             es, out = self.step_fn(es, actions, k_step)
+            if lean:
+                es = core.lean(es)
             ys = (obs, actions, out.reward, out.terminated) if need_obs else (out.reward, out.terminated)
             return (es, policy_args), ys
 
         def run(es, key, policy_args=None):
+            if lean:
+                es = core.lean(es)
             keys = jax.random.split(key, n_steps)
             (es, _), traj = jax.lax.scan(body, (es, policy_args), keys)
             return es, traj
