@@ -27,7 +27,10 @@ def main():
     ap.add_argument("--iters", type=int, default=10, help="timed program calls")
     ap.add_argument("--profile", action="store_true")
     ap.add_argument(
-        "--pf", default="pallas", choices=["pallas", "scan", "hybrid"], help="NR solver path"
+        "--pf",
+        default="pallas",
+        choices=["pallas", "scan", "hybrid", "fused", "fused_hybrid"],
+        help="NR solver path ('fused*' = whole-transition Pallas kernel)",
     )
     ap.add_argument("--env", default="anm6easy", choices=["anm6easy", "feeder33"])
     ap.add_argument("--tail", type=int, default=None, help="NR iteration budget (tail for --pf hybrid)")
@@ -43,7 +46,7 @@ def main():
     kw = {}
     if args.tail is not None:
         kw["pf_max_iter"] = args.tail
-    elif args.pf == "hybrid" and args.env == "anm6easy":
+    elif args.pf in ("hybrid", "fused_hybrid") and args.env == "anm6easy":
         # Calibrated true-NR tail after the 16-iteration chord phase
         # (feeder33's make_core auto-selects its own hybrid budget).
         kw["pf_max_iter"] = 6

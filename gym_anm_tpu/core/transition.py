@@ -118,6 +118,10 @@ def _map_set_points(spec: GridSpec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen
         px = jnp.moveaxis(p_pts.reshape((B, C)), 0, -1)  # [C, B]
         py = jnp.moveaxis(q_pts.reshape((B, C)), 0, -1)
         hL = jnp.moveaxis(h.reshape((B, C, m)), 0, -1)  # [C, m, B]
+        # Benchmarked alternatives (scripts/proj_bench.py): the candidate-
+        # stacked and box+slants forms are exact too, but measure equal or
+        # slower end-to-end on the current TPU runtime -- the running-min
+        # form stays the default.
         x, y = project_polytope_lanes(px, py, G_static, hL)
         proj_p = jnp.moveaxis(x, -1, 0).reshape(bs + (C,))
         proj_q = jnp.moveaxis(y, -1, 0).reshape(bs + (C,))
@@ -202,11 +206,73 @@ def transition(
         Generator set-points.
     P_set_des, Q_set_des : [n_des]
         Storage set-points.
-    pf_method : {"scan", "while", "pallas", "hybrid"}
+    pf_method : {"scan", "while", "pallas", "hybrid", "fused", "fused_hybrid"}
         NR loop style; "hybrid" prepends ``chord_iters`` constant-Jacobian
         chord iterations (matmul-only) before ``max_iter`` true-NR
-        iterations, on both the Pallas and XLA paths.
+        iterations, on both the Pallas and XLA paths.  "fused" /
+        "fused_hybrid" run the *entire* transition (projection, SoC, bus
+        aggregation, NR, branch flows, reward terms) as one Pallas kernel
+        (ops/pallas_step.py) on the TPU fast path -- identical math,
+        falling back to "pallas" / "hybrid" when the kernel doesn't apply.
     """
+    import jax
+
+    if pf_method in ("fused", "fused_hybrid"):
+        from ..ops import pallas_step
+
+        tile = (
+            pallas_step.fused_transition_supported(spec, des_soc, P_load)
+            if (jax.default_backend() == "tpu" or pallas_step.FORCE_INTERPRET)
+            and isinstance(spec.Y_re, np.ndarray)
+            else None
+        )
+        if tile is not None:
+            from ..ops.power_flow import flat_start_jacobian_inv_np
+
+            J0inv = flat_start_jacobian_inv_np(spec.Y_re, spec.Y_im, dtype=spec.dtype)
+            o = pallas_step.fused_transition(
+                spec,
+                des_soc,
+                P_load,
+                P_pot,
+                P_set_gen,
+                Q_set_gen,
+                P_set_des,
+                Q_set_des,
+                J0inv,
+                x_tol=x_tol,
+                max_iter=max_iter,
+                chord_iters=chord_iters if pf_method == "fused_hybrid" else 0,
+            )
+            diff = o.diff[..., 0]
+            converged = diff <= x_tol
+            e_loss = o.e_loss[..., 0]
+            penalty = o.penalty[..., 0]
+            state = SimState(
+                dev_p=o.dev_p,
+                dev_q=o.dev_q,
+                des_soc=o.soc_new,
+                gen_p_pot=o.p_pot,
+                bus_v_re=o.v_re,
+                bus_v_im=o.v_im,
+                bus_i_re=o.i_re,
+                bus_i_im=o.i_im,
+                bus_p=o.bus_p,
+                bus_q=o.bus_q,
+                br_if_re=o.if_re,
+                br_if_im=o.if_im,
+                br_it_re=o.it_re,
+                br_it_im=o.it_im,
+                br_p_from=o.p_from,
+                br_q_from=o.q_from,
+                br_p_to=o.p_to,
+                br_q_to=o.q_to,
+                br_s=o.s_max,
+                pfe_converged=converged,
+            )
+            return TransitionResult(state, -(e_loss + penalty), e_loss, penalty, converged)
+        pf_method = "pallas" if pf_method == "fused" else "hybrid"
+
     dev_p, dev_q, new_soc, p_pot = _map_set_points(
         spec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen, P_set_des, Q_set_des
     )

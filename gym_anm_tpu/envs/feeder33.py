@@ -145,7 +145,7 @@ def make_core(dtype=None, pf_max_iter=None, pf_method="hybrid"):
     (tail) for hybrid, 15 for pure NR (measured flat-start p100 = 6, with
     margin)."""
     if pf_max_iter is None:
-        pf_max_iter = 6 if pf_method == "hybrid" else 15
+        pf_max_iter = 6 if pf_method in ("hybrid", "fused_hybrid") else 15
     from ..core.env_core import EnvCore
     from ..core.grid import build_grid
     from ..core.obs import state_values_spec

@@ -13,6 +13,11 @@ The math is identical to :mod:`gym_anm_tpu.ops.power_flow` (same flat
 start, mismatch, polar Jacobian, partial-pivot elimination via one-hot
 masks, per-lane convergence masking); results match the scan path to f32
 round-off.  float32 only (TPU-native dtype).
+
+:func:`nr_core` is the reusable lane-major solver body: plain jnp code on
+``[*, TB]`` arrays, valid both inside Pallas kernels (this module and the
+whole-transition kernel in :mod:`gym_anm_tpu.ops.pallas_step`) and as a
+regular traced function.
 """
 
 from __future__ import annotations
@@ -28,18 +33,22 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE = 512  # environments per grid program (multiple of 128)
 
 
-def _nr_tile_kernel(
-    Yre_ref, Yim_ref, J0inv_ref, p_ref, q_ref, vr_ref, vi_ref, diff_ref, it_ref, *, n, x_tol, max_iter, chord_iters
-):
+def nr_core(Yre, Yim, J0inv, p, q, *, x_tol, max_iter, chord_iters):
+    """Lane-major fixed-iteration NR solve on VMEM-resident arrays.
+
+    Parameters: ``Yre/Yim [n, n]``, ``J0inv [2m, 2m]`` (used when
+    ``chord_iters > 0``), ``p/q [m, TB]`` non-slack injections.
+    Returns ``(vr, vi, ir, ii, diff, it)`` -- final bus voltages, the
+    matching nodal currents I = YV, the per-lane mismatch inf-norm, and the
+    per-lane iteration count.  The currents are carried consistently with
+    the masked iterate updates, so ``(vr, vi, ir, ii)`` always describe the
+    same (last accepted) operating point.
+    """
+    n = Yre.shape[0]
     m = n - 1
-    Yre = Yre_ref[:]  # [n, n]
-    Yim = Yim_ref[:]
-    p = p_ref[:]  # [m, TB]
-    q = q_ref[:]
+    p = jnp.asarray(p)
     TB = p.shape[1]
     fdt = p.dtype
-
-    rows_m = jax.lax.broadcasted_iota(jnp.int32, (m, TB), 0)
 
     def construct_v(theta, vm):
         vr = jnp.concatenate([jnp.ones((1, TB), fdt), vm * jnp.cos(theta)], axis=0)
@@ -124,8 +133,6 @@ def _nr_tile_kernel(
         # Chord phase: x <- x - J0^{-1} F(x) with the constant flat-start
         # Jacobian -- no per-lane Jacobian build or elimination, just a
         # [2m, 2m] x [2m, TB] contraction (exact-f32 broadcast-sum, like yv).
-        J0inv = J0inv_ref[:]  # [2m, 2m]
-
         def chord_body(_, carry):
             theta, vm, F, diff, it = carry
             active = diff > x_tol  # NaN freezes the lane
@@ -178,10 +185,26 @@ def _nr_tile_kernel(
         it = it + active.astype(jnp.int32)
         return theta, vm, F, diff, it, ir, ii
 
-    theta, vm, F, diff, it, _, _ = lax.fori_loop(
+    theta, vm, F, diff, it, ir, ii = lax.fori_loop(
         0, max_iter, body, (theta0, vm0, F0, diff0, it0, ir0, ii0)
     )
     vr, vi = construct_v(theta, vm)
+    return vr, vi, ir, ii, diff, it
+
+
+def _nr_tile_kernel(
+    Yre_ref, Yim_ref, J0inv_ref, p_ref, q_ref, vr_ref, vi_ref, diff_ref, it_ref, *, n, x_tol, max_iter, chord_iters
+):
+    vr, vi, _, _, diff, it = nr_core(
+        Yre_ref[:],
+        Yim_ref[:],
+        J0inv_ref[:],
+        p_ref[:],
+        q_ref[:],
+        x_tol=x_tol,
+        max_iter=max_iter,
+        chord_iters=chord_iters,
+    )
     vr_ref[:] = vr
     vi_ref[:] = vi
     diff_ref[:] = diff[None, :]

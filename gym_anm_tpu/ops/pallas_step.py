@@ -1,0 +1,537 @@
+"""Whole-transition fused Pallas TPU kernel.
+
+One kernel executes the **entire** physics transition of
+:func:`gym_anm_tpu.core.transition.transition` for a tile of environments
+(reference ``Simulator.transition``, simulator.py:464-537):
+
+    set-point projection -> SoC update -> bus aggregation -> NR power flow
+    -> slack recovery -> branch flows -> energy-loss + penalty reward,
+
+with every intermediate resident in VMEM.  Motivation: after the NR solve
+was fused (ops/pallas_nr.py), the remaining step cost was ~50 small XLA
+fusions of ``[B, <8]`` arrays per scan step -- each a fixed-overhead HBM
+round trip that dwarfs its arithmetic at distribution-network sizes.  Here
+they collapse into the one kernel launch; HBM traffic drops to the dynamic
+inputs in and the state fields out.
+
+The math is line-for-line the same as the XLA path: the projection mirrors
+:func:`gym_anm_tpu.ops.projection.project_polytope_lanes` (same candidate
+enumeration and tolerances, with the static normals arriving through VMEM
+refs because Pallas kernels cannot capture array literals) and the solver
+is :func:`gym_anm_tpu.ops.pallas_nr.nr_core`, so convergence/termination
+decisions are identical to ``pf_method="pallas"``.  All static grid scalars
+(branch coefficients, permutations, topology) are Python constants baked
+into the kernel; static vectors ride in as tiny constant refs.  float32,
+2-D ``[B, k]`` batches with B a multiple of the lane tile; everything else
+falls back to the unfused path (core/transition.py dispatch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_nr import nr_core
+
+# Test hook: lets CPU tests route pf_method="fused" through the kernel in
+# Pallas interpret mode (see tests/test_pallas_step.py).
+FORCE_INTERPRET = False
+
+
+class FusedStepOutputs(NamedTuple):
+    """Kernel outputs; the wrapper returns them batch-first ``[B, k]``."""
+
+    dev_p: jax.Array
+    dev_q: jax.Array
+    soc_new: jax.Array
+    p_pot: jax.Array
+    v_re: jax.Array
+    v_im: jax.Array
+    i_re: jax.Array
+    i_im: jax.Array
+    bus_p: jax.Array
+    bus_q: jax.Array
+    if_re: jax.Array
+    if_im: jax.Array
+    it_re: jax.Array
+    it_im: jax.Array
+    p_from: jax.Array
+    q_from: jax.Array
+    p_to: jax.Array
+    q_to: jax.Array
+    s_max: jax.Array
+    e_loss: jax.Array
+    penalty: jax.Array
+    diff: jax.Array
+
+
+def _project_lanes_in_kernel(px, py, G_np, Gx, Gy, h, eps):
+    """Exact polytope projection on ``[C, TB]`` lanes inside the kernel.
+
+    Identical math to :func:`gym_anm_tpu.ops.projection.project_polytope_lanes`;
+    the static NumPy normals ``G_np`` drive Python-level candidate pruning
+    only, while every *value* comes from the VMEM refs ``Gx``/``Gy``
+    (``[C, m]``) and ``h`` (``[C, m, TB]``) so the kernel captures no array
+    literals.
+    """
+    C, m = Gx.shape
+    g_finite_np = np.all(np.isfinite(G_np), axis=-1)  # [C, m] static
+    g_nonzero_np = (np.abs(G_np).sum(axis=-1) > 0) & g_finite_np
+
+    gx = [Gx[:, r : r + 1] for r in range(m)]  # [C, 1] values
+    gy = [Gy[:, r : r + 1] for r in range(m)]
+    hr = [h[:, r] for r in range(m)]  # [C, TB]
+    g_fin = [jnp.isfinite(gx[r]) & jnp.isfinite(gy[r]) for r in range(m)]
+    h_fin = [jnp.isfinite(hr[r]) for r in range(m)]
+    tol = [eps * (1.0 + jnp.where(h_fin[r], jnp.abs(hr[r]), 0.0)) for r in range(m)]
+
+    def feasible(x, y):
+        ok = x == x  # all-True [C, TB] without a literal
+        for r in range(m):
+            if not g_finite_np[:, r].any():
+                continue
+            gxv = gx[r] * x + gy[r] * y
+            row_ok = gxv <= hr[r] + tol[r]
+            mask = g_fin[r] & h_fin[r]
+            # row_ok where the row is active, vacuously true elsewhere --
+            # as boolean algebra: Mosaic rejects bool-valued where() with a
+            # scalar True operand ("unsupported target bitwidth").
+            ok = ok & (row_ok | ~mask)
+        return ok
+
+    best_x, best_y = px, py
+    best_d = jnp.where(feasible(px, py), jnp.zeros_like(px), jnp.inf)
+
+    def consider(x, y, valid, best):
+        best_x, best_y, best_d = best
+        d = (x - px) ** 2 + (y - py) ** 2
+        ok = valid & jnp.isfinite(x) & jnp.isfinite(y) & feasible(x, y) & (d < best_d)
+        return (
+            jnp.where(ok, x, best_x),
+            jnp.where(ok, y, best_y),
+            jnp.where(ok, d, best_d),
+        )
+
+    best = (best_x, best_y, best_d)
+
+    # Feet of perpendiculars.
+    for r in range(m):
+        if not g_nonzero_np[:, r].any():
+            continue  # statically absent on every device
+        gg = gx[r] * gx[r] + gy[r] * gy[r]
+        gg_safe = jnp.where(gg > 0, gg, 1.0)
+        coef = (gx[r] * px + gy[r] * py - hr[r]) / gg_safe
+        fx = px - coef * gx[r]
+        fy = py - coef * gy[r]
+        nz = (jnp.abs(gx[r]) + jnp.abs(gy[r]) > 0) & g_fin[r]
+        best = consider(fx, fy, nz & h_fin[r], best)
+
+    # Vertices (pairwise intersections).
+    for r in range(m):
+        for s in range(r + 1, m):
+            det_np = G_np[:, r, 0] * G_np[:, s, 1] - G_np[:, r, 1] * G_np[:, s, 0]
+            nrm_np = np.sqrt(
+                np.maximum((G_np[:, r] ** 2).sum(-1) * (G_np[:, s] ** 2).sum(-1), 0.0)
+            )
+            det_ok_np = np.isfinite(det_np) & (np.abs(det_np) > eps * np.maximum(1.0, nrm_np))
+            if not det_ok_np.any():
+                continue  # statically parallel/absent on every device
+            det = gx[r] * gy[s] - gy[r] * gx[s]  # [C, 1]
+            nrm2 = (gx[r] * gx[r] + gy[r] * gy[r]) * (gx[s] * gx[s] + gy[s] * gy[s])
+            nrm = jnp.sqrt(jnp.maximum(nrm2, 0.0))
+            det_ok = jnp.isfinite(det) & (jnp.abs(det) > eps * jnp.maximum(1.0, nrm))
+            safe_det = jnp.where(det_ok, det, 1.0)
+            vx = (hr[r] * gy[s] - hr[s] * gy[r]) / safe_det
+            vy = (gx[r] * hr[s] - gx[s] * hr[r]) / safe_det
+            best = consider(vx, vy, det_ok & h_fin[r] & h_fin[s], best)
+
+    return best[0], best[1]
+
+
+def _step_tile_kernel(
+    Yre_ref,
+    Yim_ref,
+    J0inv_ref,
+    Gx_ref,
+    Gy_ref,
+    h0_ref,
+    loadc_ref,  # [n_load, 3]: p_min, p_max, qp
+    genc_ref,  # [n_gen, 2]: p_min, p_max
+    desc_ref,  # [n_des, 3]: soc_min, soc_max, eff
+    busv_ref,  # [n, 2]: v_min, v_max
+    elossm_ref,  # [n_dev, 1]
+    rate_ref,  # [L, 1]
+    soc_ref,
+    pload_ref,
+    ppot_ref,
+    psg_ref,
+    qsg_ref,
+    psd_ref,
+    qsd_ref,
+    *out_refs,
+    spec_static,
+    x_tol,
+    max_iter,
+    chord_iters,
+):
+    (
+        n,
+        d,
+        L,
+        n_load,
+        n_gen,
+        n_des,
+        delta_t,
+        lamb,
+        slack,
+        load_pos,
+        gen_pos,
+        des_pos,
+        devs_at_bus,
+        branch_ft,
+        branch_coef,
+        rer_pairs,
+        G_np,
+        cap_row,
+        floor_row,
+    ) = spec_static
+    fdt = jnp.float32
+    TB = soc_ref.shape[1]
+
+    # ---- 1. loads: clip + fixed Q/P ratio (devices.py:156-167) ----------
+    load_p = jnp.clip(pload_ref[:], loadc_ref[:, 0:1], loadc_ref[:, 1:2])
+    load_q = load_p * loadc_ref[:, 2:3]
+
+    # ---- 2. generator potential + polytope offsets ----------------------
+    p_pot = jnp.clip(ppot_ref[:], genc_ref[:, 0:1], genc_ref[:, 1:2])
+    soc = soc_ref[:]
+    eff = desc_ref[:, 2:3]
+    discharge_cap = eff * (soc - desc_ref[:, 0:1]) / delta_t
+    charge_cap = -(soc - desc_ref[:, 1:2]) / (delta_t * eff)
+
+    C, m_rows = h0_ref.shape
+    rows = []
+    for r in range(m_rows):
+        if r == cap_row:
+            rows.append(jnp.concatenate([p_pot, discharge_cap], axis=0))
+        elif r == floor_row:
+            gen_part = jnp.broadcast_to(h0_ref[:n_gen, r : r + 1], (n_gen, TB))
+            rows.append(jnp.concatenate([gen_part, charge_cap], axis=0))
+        else:
+            rows.append(jnp.broadcast_to(h0_ref[:, r : r + 1], (C, TB)))
+    h = jnp.stack(rows, axis=1)  # [C, m_rows, TB]
+
+    # ---- 3. exact projection onto the capability polytopes --------------
+    px = jnp.concatenate([psg_ref[:], psd_ref[:]], axis=0)
+    py = jnp.concatenate([qsg_ref[:], qsd_ref[:]], axis=0)
+    eps = 1e-5  # f32 tolerance, as in ops/projection.py
+    proj_x, proj_y = _project_lanes_in_kernel(px, py, G_np, Gx_ref[:], Gy_ref[:], h, eps)
+    gen_p, gen_q = proj_x[:n_gen], proj_y[:n_gen]
+    des_p, des_q = proj_x[n_gen:], proj_y[n_gen:]
+
+    # ---- 4. SoC update (devices.py:524-545) ------------------------------
+    soc_new = jnp.where(des_p <= 0, soc - delta_t * eff * des_p, soc - delta_t * des_p / eff)
+    soc_new = jnp.clip(soc_new, desc_ref[:, 0:1], desc_ref[:, 1:2])
+
+    # ---- 5. device assembly (slack = 0 pre-solve) ------------------------
+    zero_row = soc[0:1] * 0.0
+    rows_p = [zero_row] * d
+    rows_q = [zero_row] * d
+    for i, pos in enumerate(load_pos):
+        rows_p[pos] = load_p[i : i + 1]
+        rows_q[pos] = load_q[i : i + 1]
+    for i, pos in enumerate(gen_pos):
+        rows_p[pos] = gen_p[i : i + 1]
+        rows_q[pos] = gen_q[i : i + 1]
+    for i, pos in enumerate(des_pos):
+        rows_p[pos] = des_p[i : i + 1]
+        rows_q[pos] = des_q[i : i + 1]
+
+    # ---- 6. bus aggregation (simulator.py:539-549) ------------------------
+    bus_rows_p, bus_rows_q = [], []
+    for b in range(n):
+        devs = devs_at_bus[b]
+        if devs:
+            bus_rows_p.append(sum(rows_p[dd] for dd in devs))
+            bus_rows_q.append(sum(rows_q[dd] for dd in devs))
+        else:
+            bus_rows_p.append(zero_row)
+            bus_rows_q.append(zero_row)
+
+    p_in = jnp.concatenate(bus_rows_p[1:], axis=0)  # [n-1, TB] non-slack
+    q_in = jnp.concatenate(bus_rows_q[1:], axis=0)
+
+    # ---- 7. NR power flow (shared lane-major core) ------------------------
+    vr, vi, ir, ii, diff, _ = nr_core(
+        Yre_ref[:],
+        Yim_ref[:],
+        J0inv_ref[:],
+        p_in,
+        q_in,
+        x_tol=x_tol,
+        max_iter=max_iter,
+        chord_iters=chord_iters,
+    )
+
+    # ---- 8. slack recovery (solve_load_flow.py:54-72) ---------------------
+    p0 = jnp.where(jnp.isnan(ir[0:1]), jnp.inf, ir[0:1])
+    q0 = jnp.where(jnp.isnan(ii[0:1]), jnp.inf, -ii[0:1])
+    rows_p[slack] = p0
+    rows_q[slack] = q0
+    dev_p = jnp.concatenate(rows_p, axis=0)  # [d, TB]
+    dev_q = jnp.concatenate(rows_q, axis=0)
+    bus_p = jnp.concatenate([p0] + bus_rows_p[1:], axis=0)
+    bus_q = jnp.concatenate([q0] + bus_rows_q[1:], axis=0)
+
+    # ---- 9. branch currents & flows (branch.py:153-198) -------------------
+    ifr_l, ifi_l, itr_l, iti_l = [], [], [], []
+    pf_l, qf_l, pt_l, qt_l, sm_l = [], [], [], [], []
+    for l in range(L):
+        f, t = branch_ft[l]
+        affr, affi, aftr, afti, atfr, atfi, attr, atti = branch_coef[l]
+        vfr, vfi = vr[f : f + 1], vi[f : f + 1]
+        vtr, vti = vr[t : t + 1], vi[t : t + 1]
+        if_re = affr * vfr - affi * vfi + aftr * vtr - afti * vti
+        if_im = affr * vfi + affi * vfr + aftr * vti + afti * vtr
+        it_re = attr * vtr - atti * vti + atfr * vfr - atfi * vfi
+        it_im = attr * vti + atti * vtr + atfr * vfi + atfi * vfr
+        p_f = vfr * if_re + vfi * if_im
+        q_f = vfi * if_re - vfr * if_im
+        p_t = vtr * it_re + vti * it_im
+        q_t = vti * it_re - vtr * it_im
+        s_f = jnp.sqrt(p_f * p_f + q_f * q_f)
+        s_t = jnp.sqrt(p_t * p_t + q_t * q_t)
+        s_m = jnp.sign(p_f) * jnp.maximum(s_f, s_t)
+        ifr_l.append(if_re), ifi_l.append(if_im), itr_l.append(it_re), iti_l.append(it_im)
+        pf_l.append(p_f), qf_l.append(q_f), pt_l.append(p_t), qt_l.append(q_t), sm_l.append(s_m)
+    cat = lambda xs: jnp.concatenate(xs, axis=0)
+    s_max = cat(sm_l)
+
+    # ---- 10. reward terms (simulator.py:638-683) ---------------------------
+    e_loss = jnp.sum(elossm_ref[:] * dev_p, axis=0, keepdims=True)
+    for gi, dpos in rer_pairs:
+        e_loss = e_loss + jnp.maximum(0.0, p_pot[gi : gi + 1] - dev_p[dpos : dpos + 1])
+    e_loss = e_loss * delta_t
+
+    v_magn = jnp.sqrt(vr * vr + vi * vi)
+    v_pen = jnp.sum(
+        jnp.maximum(0.0, v_magn - busv_ref[:, 1:2]) + jnp.maximum(0.0, busv_ref[:, 0:1] - v_magn),
+        axis=0,
+        keepdims=True,
+    )
+    br_pen = jnp.sum(jnp.maximum(0.0, jnp.abs(s_max) - rate_ref[:]), axis=0, keepdims=True)
+    penalty = (v_pen + br_pen) * (delta_t * lamb)
+
+    outs = FusedStepOutputs(
+        dev_p=dev_p,
+        dev_q=dev_q,
+        soc_new=soc_new,
+        p_pot=p_pot,
+        v_re=vr,
+        v_im=vi,
+        i_re=ir,
+        i_im=ii,
+        bus_p=bus_p,
+        bus_q=bus_q,
+        if_re=cat(ifr_l),
+        if_im=cat(ifi_l),
+        it_re=cat(itr_l),
+        it_im=cat(iti_l),
+        p_from=cat(pf_l),
+        q_from=cat(qf_l),
+        p_to=cat(pt_l),
+        q_to=cat(qt_l),
+        s_max=s_max,
+        e_loss=e_loss,
+        penalty=penalty,
+        diff=diff[None, :],
+    )
+    for ref, val in zip(out_refs, outs):
+        ref[:] = val
+
+
+def _spec_static(spec):
+    """Hashable Python-constant view of the GridSpec for the kernel closure."""
+    inc = np.asarray(spec.inc_bus_dev)
+    devs_at_bus = tuple(tuple(int(x) for x in np.nonzero(inc[b])[0]) for b in range(spec.n_bus))
+    brf, brt = np.asarray(spec.br_f), np.asarray(spec.br_t)
+    branch_ft = tuple((int(brf[l]), int(brt[l])) for l in range(spec.n_branch))
+    coef = np.concatenate(
+        [np.asarray(spec.br_aff), np.asarray(spec.br_aft), np.asarray(spec.br_atf), np.asarray(spec.br_att)],
+        axis=1,
+    ).astype(np.float64)  # [L, 8]: aff_re, aff_im, aft_re, aft_im, atf_re, atf_im, att_re, att_im
+    branch_coef = tuple(tuple(float(c) for c in coef[l]) for l in range(spec.n_branch))
+    rer_pairs = tuple(
+        (int(g), int(p)) for g, p in zip(np.asarray(spec.rer_gen_idx), np.asarray(spec.rer_pos))
+    )
+    from ..core.grid import POLY_ROW_P_CAP, POLY_ROW_P_FLOOR
+
+    G_np = np.concatenate([np.asarray(spec.gen_G), np.asarray(spec.des_G)], axis=0)
+    return (
+        spec.n_bus,
+        spec.n_dev,
+        spec.n_branch,
+        spec.n_load,
+        spec.n_gen,
+        spec.n_des,
+        float(spec.delta_t),
+        float(spec.lamb),
+        int(spec.slack_pos),
+        tuple(int(x) for x in np.asarray(spec.load_pos)),
+        tuple(int(x) for x in np.asarray(spec.gen_pos)),
+        tuple(int(x) for x in np.asarray(spec.des_pos)),
+        devs_at_bus,
+        branch_ft,
+        branch_coef,
+        rer_pairs,
+        G_np,
+        POLY_ROW_P_CAP,
+        POLY_ROW_P_FLOOR,
+    )
+
+
+def fused_tile_budget(spec, vmem_bytes=16 * 2**20):
+    """Lane tiles whose estimated scoped-VMEM footprint fits the 16 MiB
+    per-kernel limit.
+
+    512 lanes measures fastest on the 6-bus kernel (larger tiles fit VMEM
+    but schedule worse: 2048 lanes ran 18% slower end-to-end); the
+    estimate below only guards the small-tile fallback for big networks.
+    The per-lane word count sums the NR elimination/Jacobian buffers,
+    voltage/current temporaries, the projection offset tensor, and kernel
+    I/O, with a 3x allowance for Mosaic's liveness/double-buffering
+    (calibrated on the 6-bus kernel: estimate 4.9 KB/lane vs 4.3 KB/lane
+    measured)."""
+    n = spec.n_bus
+    m2 = 2 * (n - 1)
+    C = spec.n_gen + spec.n_des
+    m_rows = np.asarray(spec.gen_G).shape[1]
+    L, d = spec.n_branch, spec.n_dev
+    io_rows = 2 * d + 2 * spec.n_des + 2 * spec.n_gen + spec.n_load + 6 * n + 9 * L + 6
+    per_lane_words = 3 * (m2 * (m2 + 1) + m2 * m2 + 8 * n + C * m_rows + 8 * C + io_rows)
+    return [t for t in (512, 256, 128) if per_lane_words * 4 * t <= vmem_bytes]
+
+
+def fused_transition_supported(spec, des_soc, P_load):
+    """The lane tile to use, or None when the fused kernel doesn't apply
+    (needs float32, 2-D ``[B, k]`` batches, tile-aligned B, and at least one
+    device of each class so every kernel input is non-empty)."""
+    if spec.dtype not in (jnp.float32, np.float32):
+        return None
+    if not (spec.n_load and spec.n_gen and spec.n_des):
+        return None
+    soc = jnp.asarray(des_soc)
+    pl_ = jnp.asarray(P_load)
+    if soc.ndim != 2 or pl_.ndim != 2:
+        return None
+    B = soc.shape[0]
+    for t in fused_tile_budget(spec):
+        if B % t == 0:
+            return t
+    return None
+
+
+def fused_transition(
+    spec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen, P_set_des, Q_set_des,
+    J0inv, x_tol=1e-5, max_iter=10, chord_iters=0, tile=None,
+) -> FusedStepOutputs:
+    """Run the fused whole-transition kernel on ``[B, k]`` float32 batches.
+
+    Returns :class:`FusedStepOutputs` transposed to batch-first ``[B, k]``.
+    ``spec`` must hold NumPy (trace-time constant) arrays; the dynamic
+    inputs and ``J0inv`` are the only per-call device tensors (the static
+    polytope/bound tables ride along as tiny constant refs).
+    """
+    fdt = jnp.float32
+    soc = jnp.asarray(des_soc, fdt).T  # [n_des, B]
+    B = soc.shape[1]
+    if tile is None:
+        tile = next(t for t in fused_tile_budget(spec) if B % t == 0)
+    n, d, L = spec.n_bus, spec.n_dev, spec.n_branch
+    n_load, n_gen, n_des = spec.n_load, spec.n_gen, spec.n_des
+    m = n - 1
+
+    G_np = np.concatenate([np.asarray(spec.gen_G), np.asarray(spec.des_G)], axis=0)
+    C, m_rows, _ = G_np.shape
+    h0_np = np.concatenate(
+        [np.asarray(spec.gen_h0, np.float32), np.asarray(spec.des_h0, np.float32)], axis=0
+    )
+    loadc = np.stack(
+        [np.asarray(spec.load_p_min), np.asarray(spec.load_p_max), np.asarray(spec.load_qp)], axis=1
+    ).astype(np.float32)
+    genc = np.stack([np.asarray(spec.gen_p_min), np.asarray(spec.gen_p_max)], axis=1).astype(np.float32)
+    desc = np.stack(
+        [np.asarray(spec.des_soc_min), np.asarray(spec.des_soc_max), np.asarray(spec.des_eff)], axis=1
+    ).astype(np.float32)
+    busv = np.stack([np.asarray(spec.bus_v_min), np.asarray(spec.bus_v_max)], axis=1).astype(np.float32)
+
+    ins = [
+        jnp.asarray(spec.Y_re, fdt),
+        jnp.asarray(spec.Y_im, fdt),
+        jnp.asarray(J0inv, fdt),
+        jnp.asarray(G_np[:, :, 0], fdt),
+        jnp.asarray(G_np[:, :, 1], fdt),
+        jnp.asarray(h0_np, fdt),
+        jnp.asarray(loadc, fdt),
+        jnp.asarray(genc, fdt),
+        jnp.asarray(desc, fdt),
+        jnp.asarray(busv, fdt),
+        jnp.asarray(np.asarray(spec.eloss_mask, np.float32)[:, None], fdt),
+        jnp.asarray(np.asarray(spec.br_rate, np.float32)[:, None], fdt),
+        soc,
+        jnp.asarray(P_load, fdt).T,
+        jnp.asarray(P_pot, fdt).T,
+        jnp.asarray(P_set_gen, fdt).T,
+        jnp.asarray(Q_set_gen, fdt).T,
+        jnp.asarray(P_set_des, fdt).T,
+        jnp.asarray(Q_set_des, fdt).T,
+    ]
+    const = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    lane = lambda k: pl.BlockSpec((k, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    in_specs = [
+        const(n, n),
+        const(n, n),
+        const(2 * m, 2 * m),
+        const(C, m_rows),
+        const(C, m_rows),
+        const(C, m_rows),
+        const(n_load, 3),
+        const(n_gen, 2),
+        const(n_des, 3),
+        const(n, 2),
+        const(d, 1),
+        const(L, 1),
+        lane(n_des),
+        lane(n_load),
+        lane(n_gen),
+        lane(n_gen),
+        lane(n_gen),
+        lane(n_des),
+        lane(n_des),
+    ]
+    out_rows = [d, d, n_des, n_gen, n, n, n, n, n, n, L, L, L, L, L, L, L, L, L, 1, 1, 1]
+    out_specs = [lane(k) for k in out_rows]
+    out_shape = [jax.ShapeDtypeStruct((k, B), fdt) for k in out_rows]
+
+    kernel = functools.partial(
+        _step_tile_kernel,
+        spec_static=_spec_static(spec),
+        x_tol=x_tol,
+        max_iter=max_iter,
+        chord_iters=chord_iters,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // tile,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(*ins)
+    return FusedStepOutputs(*(o.T for o in outs))

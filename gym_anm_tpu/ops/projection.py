@@ -89,6 +89,234 @@ def project_polytope(point, G, h, eps=None):
     return jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
 
 
+def project_box_slants_lanes(px, py, G, h, eps=None):
+    """Exact lane-major projection specialized to box + slanted cuts.
+
+    Device capability regions are axis-aligned boxes (p/q bounds, the
+    dynamic P cap/floor) intersected with a few slanted halfspaces (the
+    tau/rho capability cuts, devices.py:219-265).  The general candidate
+    enumeration (:func:`project_polytope_lanes`) spends most of its ops on
+    box-row feet and box-corner vertices; all of those collapse into the
+    single ``clip`` candidate, because if no slant is active at the
+    solution then locally the feasible set IS the box and the projection
+    equals the box clip.  Remaining candidates: feet on slant lines,
+    slant-slant vertices, and slant-box-edge vertices.  ~3x fewer VPU ops
+    than the general form; exact to fp rounding (same eps tolerances).
+
+    Inputs/outputs as :func:`project_polytope_lanes`: px/py ``[C, B]``,
+    G static numpy ``[C, m, 2]``, h ``[C, m, B]``.  Rows are classified
+    statically per device: zero-normal rows absent, single-nonzero-normal
+    rows fold into the dynamic box bounds, two-nonzero rows are slants.
+
+    Precondition: zero-normal rows must carry ``+inf`` offsets (they are
+    structurally absent, which is how ``core/transition.py`` builds ``h``
+    from ``gen_h0``/``des_h0``).  The general form instead treats a
+    zero-normal row with finite negative ``h`` as an always-violated
+    constraint (empty set); this form ignores such rows.
+    """
+    G = np.asarray(G)
+    C, m, _ = G.shape
+    dtype = jnp.result_type(px)
+    if eps is None:
+        eps = 1e-9 if dtype == jnp.float64 else 1e-5
+
+    g_finite = np.all(np.isfinite(G), axis=-1)  # [C, m]
+    nz_x = (G[:, :, 0] != 0) & g_finite
+    nz_y = (G[:, :, 1] != 0) & g_finite
+    axis_x = nz_x & ~nz_y  # p-bound rows
+    axis_y = nz_y & ~nz_x  # q-bound rows
+    slant = nz_x & nz_y
+
+    h_rows = [h[:, r] for r in range(m)]  # [C, B]
+    h_fin = [jnp.isfinite(h_rows[r]) for r in range(m)]
+
+    inf = jnp.asarray(np.inf, dtype)
+
+    # ---- dynamic box bounds from the axis rows -------------------------
+    lo_x = hi_x = lo_y = hi_y = None
+
+    def acc(cur, val, reduce):
+        return val if cur is None else reduce(cur, val)
+
+    for r in range(m):
+        if axis_x[:, r].any():
+            gxc = G[:, r, 0][:, None]
+            if (G[:, r, 0] > 0).any():
+                hi_x = acc(hi_x, jnp.where(jnp.asarray((axis_x[:, r] & (G[:, r, 0] > 0))[:, None]) & h_fin[r], h_rows[r] / gxc, inf), jnp.minimum)
+            if (G[:, r, 0] < 0).any():
+                lo_x = acc(lo_x, jnp.where(jnp.asarray((axis_x[:, r] & (G[:, r, 0] < 0))[:, None]) & h_fin[r], h_rows[r] / gxc, -inf), jnp.maximum)
+        if axis_y[:, r].any():
+            gyc = G[:, r, 1][:, None]
+            if (G[:, r, 1] > 0).any():
+                hi_y = acc(hi_y, jnp.where(jnp.asarray((axis_y[:, r] & (G[:, r, 1] > 0))[:, None]) & h_fin[r], h_rows[r] / gyc, inf), jnp.minimum)
+            if (G[:, r, 1] < 0).any():
+                lo_y = acc(lo_y, jnp.where(jnp.asarray((axis_y[:, r] & (G[:, r, 1] < 0))[:, None]) & h_fin[r], h_rows[r] / gyc, -inf), jnp.maximum)
+    shape = px.shape
+    if lo_x is None:
+        lo_x = jnp.full(shape, -np.inf, dtype)
+    if hi_x is None:
+        hi_x = jnp.full(shape, np.inf, dtype)
+    if lo_y is None:
+        lo_y = jnp.full(shape, -np.inf, dtype)
+    if hi_y is None:
+        hi_y = jnp.full(shape, np.inf, dtype)
+
+    tol_x = eps * (1.0 + jnp.where(jnp.isfinite(hi_x), jnp.abs(hi_x), 0.0) + jnp.where(jnp.isfinite(lo_x), jnp.abs(lo_x), 0.0))
+    tol_y = eps * (1.0 + jnp.where(jnp.isfinite(hi_y), jnp.abs(hi_y), 0.0) + jnp.where(jnp.isfinite(lo_y), jnp.abs(lo_y), 0.0))
+
+    slant_rows = [r for r in range(m) if slant[:, r].any()]
+    tol_s = {r: eps * (1.0 + jnp.where(h_fin[r], jnp.abs(h_rows[r]), 0.0)) for r in slant_rows}
+
+    def feasible(x, y):
+        ok = (x >= lo_x - tol_x) & (x <= hi_x + tol_x) & (y >= lo_y - tol_y) & (y <= hi_y + tol_y)
+        for r in slant_rows:
+            gxv = G[:, r, 0][:, None] * x + G[:, r, 1][:, None] * y
+            mask = jnp.asarray(slant[:, r][:, None]) & h_fin[r]
+            ok = ok & jnp.where(mask, gxv <= h_rows[r] + tol_s[r], True)
+        return ok
+
+    def consider(x, y, valid, best):
+        bx, by, bd = best
+        d = (x - px) ** 2 + (y - py) ** 2
+        ok = valid & jnp.isfinite(x) & jnp.isfinite(y) & feasible(x, y) & (d < bd)
+        return jnp.where(ok, x, bx), jnp.where(ok, y, by), jnp.where(ok, d, bd)
+
+    # Candidate 0 is the point itself (returned unchanged when nothing is
+    # feasible, like the general form); candidate 1 is the box clip, which
+    # subsumes every box-face foot and box-corner vertex.
+    best = (px, py, jnp.where(feasible(px, py), jnp.zeros_like(px), jnp.inf))
+    cx0 = jnp.clip(px, lo_x, hi_x)
+    cy0 = jnp.clip(py, lo_y, hi_y)
+    best = consider(cx0, cy0, jnp.ones_like(px, dtype=bool), best)
+
+    # ---- feet on slant lines --------------------------------------------
+    for r in slant_rows:
+        gxc, gyc = G[:, r, 0][:, None], G[:, r, 1][:, None]
+        gg = (G[:, r, 0] ** 2 + G[:, r, 1] ** 2)[:, None]
+        coef = (gxc * px + gyc * py - h_rows[r]) / np.where(gg > 0, gg, 1.0)
+        valid = jnp.asarray(slant[:, r][:, None]) & h_fin[r]
+        best = consider(px - coef * gxc, py - coef * gyc, valid, best)
+
+    # ---- slant-slant vertices --------------------------------------------
+    for i, r in enumerate(slant_rows):
+        for s in slant_rows[i + 1 :]:
+            det = G[:, r, 0] * G[:, s, 1] - G[:, r, 1] * G[:, s, 0]
+            nrm = np.sqrt(np.maximum((G[:, r] ** 2).sum(-1) * (G[:, s] ** 2).sum(-1), 0.0))
+            det_ok = np.isfinite(det) & (np.abs(det) > eps * np.maximum(1.0, nrm)) & slant[:, r] & slant[:, s]
+            if not det_ok.any():
+                continue
+            sd = np.where(det_ok, det, 1.0)[:, None]
+            hr, hs = h_rows[r], h_rows[s]
+            vx = (hr * G[:, s, 1][:, None] - hs * G[:, r, 1][:, None]) / sd
+            vy = (G[:, r, 0][:, None] * hs - G[:, s, 0][:, None] * hr) / sd
+            best = consider(vx, vy, jnp.asarray(det_ok[:, None]) & h_fin[r] & h_fin[s], best)
+
+    # ---- slant x box-edge vertices ----------------------------------------
+    for r in slant_rows:
+        gxc, gyc = G[:, r, 0][:, None], G[:, r, 1][:, None]
+        mask = jnp.asarray(slant[:, r][:, None]) & h_fin[r]
+        if slant[:, r].any() and np.any(G[:, r, 0][slant[:, r]] != 0):
+            for ybound in (lo_y, hi_y):
+                vx = (h_rows[r] - gyc * ybound) / np.where(G[:, r, 0] == 0, 1.0, G[:, r, 0])[:, None]
+                best = consider(vx, ybound, mask, best)
+        if slant[:, r].any() and np.any(G[:, r, 1][slant[:, r]] != 0):
+            for xbound in (lo_x, hi_x):
+                vy = (h_rows[r] - gxc * xbound) / np.where(G[:, r, 1] == 0, 1.0, G[:, r, 1])[:, None]
+                best = consider(xbound, vy, mask, best)
+
+    return best[0], best[1]
+
+
+def project_polytope_lanes_stacked(px, py, G, h, eps=None):
+    """Exact projection, lane-major with the candidate axis on sublanes.
+
+    Same inputs/outputs and identical results (same candidate enumeration
+    order and tie-breaking) as :func:`project_polytope_lanes`, but all
+    ~K = 1 + m + m(m-1)/2 candidates are materialized as one ``[K, C, B]``
+    tensor and validated/scored in parallel.  The running-minimum form
+    issues O(K * m) tiny ``[C, B]`` VPU ops in a serial dependency chain --
+    measured as *the* dominant cost of the whole environment step on TPU
+    (~440 us/step at B=4096 on ANM6); this form does the same work in
+    ~m + 25 wide ops with no chain, trading a K-fold larger live tensor
+    (fine at these sizes: K~34, C~3).  Statically absent rows/pairs are
+    pruned from K at trace time like the running-min form.
+
+    px, py: [C, B]; G: static numpy [C, m, 2]; h: [C, m, B].
+    Returns ``(x [C, B], y [C, B])``.
+    """
+    G = np.asarray(G)
+    C, m, _ = G.shape
+    dtype = jnp.result_type(px)
+    if eps is None:
+        eps = 1e-9 if dtype == jnp.float64 else 1e-5
+
+    g_finite = np.all(np.isfinite(G), axis=-1)  # [C, m] static
+    g_nonzero = (np.abs(G).sum(axis=-1) > 0) & g_finite
+
+    h_rows = [h[:, r] for r in range(m)]  # [C, B] each
+    h_fin = [jnp.isfinite(h_rows[r]) for r in range(m)]
+    tol = [eps * (1.0 + jnp.where(h_fin[r], jnp.abs(h_rows[r]), 0.0)) for r in range(m)]
+
+    # --- enumerate candidates (same order as the running-min form) -------
+    cx: list = [px]
+    cy: list = [py]
+    cval: list = [None]  # None = unconditionally valid (before feasibility)
+
+    for r in range(m):
+        if not g_nonzero[:, r].any():
+            continue
+        gxc = G[:, r, 0][:, None]
+        gyc = G[:, r, 1][:, None]
+        gg = (G[:, r, 0] ** 2 + G[:, r, 1] ** 2)[:, None]
+        gg_safe = np.where(gg > 0, gg, 1.0)
+        coef = (gxc * px + gyc * py - h_rows[r]) / gg_safe
+        cx.append(px - coef * gxc)
+        cy.append(py - coef * gyc)
+        cval.append(jnp.asarray(g_nonzero[:, r][:, None]) & h_fin[r])
+
+    for r in range(m):
+        for s in range(r + 1, m):
+            det = G[:, r, 0] * G[:, s, 1] - G[:, r, 1] * G[:, s, 0]  # [C] static
+            nrm = np.sqrt(np.maximum((G[:, r] ** 2).sum(-1) * (G[:, s] ** 2).sum(-1), 0.0))
+            det_ok = np.isfinite(det) & (np.abs(det) > eps * np.maximum(1.0, nrm))
+            if not det_ok.any():
+                continue
+            safe_det = np.where(det_ok, det, 1.0)[:, None]
+            hr, hs = h_rows[r], h_rows[s]
+            cx.append((hr * G[:, s, 1][:, None] - hs * G[:, r, 1][:, None]) / safe_det)
+            cy.append((G[:, r, 0][:, None] * hs - G[:, s, 0][:, None] * hr) / safe_det)
+            cval.append(jnp.asarray(det_ok[:, None]) & h_fin[r] & h_fin[s])
+
+    CX = jnp.stack(cx, axis=0)  # [K, C, B]
+    CY = jnp.stack(cy, axis=0)
+
+    # --- feasibility of every candidate, one wide op per polytope row ----
+    feas = jnp.ones(CX.shape, dtype=bool)
+    for r in range(m):
+        if not g_finite[:, r].any():
+            continue
+        gxv = G[:, r, 0][:, None] * CX + G[:, r, 1][:, None] * CY
+        row_ok = gxv <= (h_rows[r] + tol[r])[None]
+        mask = jnp.asarray(g_finite[:, r][:, None]) & h_fin[r]
+        feas = feas & (row_ok | ~mask[None])
+
+    valid = feas & jnp.isfinite(CX) & jnp.isfinite(CY)
+    extra = jnp.stack(
+        [jnp.ones_like(px, dtype=bool) if v is None else v for v in cval], axis=0
+    )
+    valid = valid & extra
+
+    d2 = (CX - px[None]) ** 2 + (CY - py[None]) ** 2
+    score = jnp.where(valid, d2, jnp.inf)
+    # argmin picks the lowest index among equal minima == the running-min
+    # form's strict-improvement rule under the same enumeration order; when
+    # nothing is valid (all +inf) index 0 returns the original point.
+    best = jnp.argmin(score, axis=0)  # [C, B]
+    bx = jnp.take_along_axis(CX, best[None], axis=0)[0]
+    by = jnp.take_along_axis(CY, best[None], axis=0)[0]
+    return bx, by
+
+
 def project_polytope_lanes(px, py, G, h, eps=None):
     """Exact projection, lane-major hot path.
 

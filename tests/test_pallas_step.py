@@ -1,0 +1,119 @@
+"""Whole-transition fused kernel (ops/pallas_step.py) and projection
+variants vs the reference XLA paths (Pallas interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from gym_anm_tpu.core.grid import build_grid
+from gym_anm_tpu.core import transition as T
+from gym_anm_tpu.envs.anm6.network import network
+from gym_anm_tpu.ops.projection import (
+    project_box_slants_lanes,
+    project_polytope_lanes,
+    project_polytope_lanes_stacked,
+)
+
+
+def _random_inputs(B, seed=0):
+    rng = np.random.default_rng(seed)
+    f32 = np.float32
+    return dict(
+        des_soc=jnp.asarray(rng.uniform(0.1, 0.9, (B, 1)).astype(f32)),
+        P_load=jnp.asarray(rng.uniform(-0.4, 0.0, (B, 3)).astype(f32)),
+        P_pot=jnp.asarray(rng.uniform(0.0, 0.5, (B, 2)).astype(f32)),
+        P_set_gen=jnp.asarray(rng.uniform(0.0, 0.5, (B, 2)).astype(f32)),
+        Q_set_gen=jnp.asarray(rng.uniform(-0.3, 0.3, (B, 2)).astype(f32)),
+        P_set_des=jnp.asarray(rng.uniform(-0.4, 0.4, (B, 1)).astype(f32)),
+        Q_set_des=jnp.asarray(rng.uniform(-0.3, 0.3, (B, 1)).astype(f32)),
+    )
+
+
+def test_fused_transition_matches_scan():
+    """pf_method='fused' reproduces the XLA scan transition: identical
+    convergence decisions, state/reward to f32 round-off."""
+    import gym_anm_tpu.ops.pallas_step as ps
+
+    spec, _ = build_grid(network, 0.25, 100, dtype=np.float32)
+    args = _random_inputs(B=128)
+    r_scan = T.transition(spec, **args, pf_method="scan", max_iter=10)
+
+    old = ps.FORCE_INTERPRET
+    ps.FORCE_INTERPRET = True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            r_fused = T.transition(spec, **args, pf_method="fused", max_iter=10)
+    finally:
+        ps.FORCE_INTERPRET = old
+
+    conv = np.asarray(r_scan.state.pfe_converged)
+    np.testing.assert_array_equal(conv, np.asarray(r_fused.state.pfe_converged))
+    for f in [
+        "dev_p", "dev_q", "des_soc", "gen_p_pot", "bus_v_re", "bus_v_im",
+        "bus_i_re", "bus_i_im", "bus_p", "bus_q", "br_if_re", "br_it_im",
+        "br_p_from", "br_q_to", "br_s",
+    ]:
+        a = np.asarray(getattr(r_scan.state, f))[conv]
+        b = np.asarray(getattr(r_fused.state, f))[conv]
+        np.testing.assert_allclose(a, b, atol=5e-5, err_msg=f)
+    np.testing.assert_allclose(
+        np.asarray(r_scan.e_loss)[conv], np.asarray(r_fused.e_loss)[conv], atol=5e-5
+    )
+    # penalty amplifies voltage/flow round-off by lamb=100
+    np.testing.assert_allclose(
+        np.asarray(r_scan.penalty)[conv], np.asarray(r_fused.penalty)[conv], atol=5e-3
+    )
+
+
+def test_fused_falls_back_off_tpu():
+    """Without a TPU (and without the interpret-mode hook), pf_method='fused'
+    must silently take the pallas->scan fallback and agree with scan."""
+    spec, _ = build_grid(network, 0.25, 100, dtype=np.float32)
+    args = _random_inputs(B=8, seed=3)
+    r1 = T.transition(spec, **args, pf_method="fused", max_iter=10)
+    r2 = T.transition(spec, **args, pf_method="scan", max_iter=10)
+    np.testing.assert_allclose(
+        np.asarray(r1.reward), np.asarray(r2.reward), rtol=1e-6, atol=1e-6
+    )
+
+
+def _projection_case(B=1024, seed=7):
+    spec, _ = build_grid(network, 0.25, 100, dtype=np.float32)
+    G = np.concatenate([np.asarray(spec.gen_G), np.asarray(spec.des_G)], axis=0)
+    C, m, _ = G.shape
+    rng = np.random.default_rng(seed)
+    px = jnp.asarray(rng.uniform(-1.5, 1.5, (C, B)).astype(np.float32))
+    py = jnp.asarray(rng.uniform(-1.5, 1.5, (C, B)).astype(np.float32))
+    h0 = np.concatenate([np.asarray(spec.gen_h0), np.asarray(spec.des_h0)], 0).astype(np.float32)
+    h = np.broadcast_to(h0[:, :, None], (C, m, B)).copy()
+    # dynamic offsets only on structurally-present rows, as transition builds h
+    r2 = np.abs(G[:, 2]).sum(-1) > 0
+    r9 = np.abs(G[:, 9]).sum(-1) > 0
+    h[r2, 2, :] = rng.uniform(0.0, 0.6, (int(r2.sum()), B))
+    h[r9, 9, :] = rng.uniform(0.0, 0.5, (int(r9.sum()), B))
+    return px, py, G, jnp.asarray(h)
+
+
+def test_projection_stacked_bit_identical():
+    """The candidate-stacked form enumerates in the same order with the same
+    tie-breaking -- bit-identical to the running-min form."""
+    px, py, G, h = _projection_case()
+    x1, y1 = project_polytope_lanes(px, py, G, h)
+    x2, y2 = project_polytope_lanes_stacked(px, py, G, h)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_projection_box_slants_exact():
+    """The box+slants specialization returns the same projection (different
+    candidate construction, so f32 round-off tolerance) with equal distance."""
+    px, py, G, h = _projection_case(seed=11)
+    x1, y1 = project_polytope_lanes(px, py, G, h)
+    x2, y2 = project_box_slants_lanes(px, py, G, h)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5)
+    d1 = np.asarray((x1 - px) ** 2 + (y1 - py) ** 2)
+    d2 = np.asarray((x2 - px) ** 2 + (y2 - py) ** 2)
+    np.testing.assert_allclose(d1, d2, atol=2e-5)
