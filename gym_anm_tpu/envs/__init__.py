@@ -1,5 +1,7 @@
 from .anm_env import ANMEnv
 from .anm6.anm6 import ANM6
 from .anm6.anm6_easy import ANM6Easy
+from .batched import BatchedEnv
+from .vector import ANMVectorEnv
 
-__all__ = ["ANMEnv", "ANM6", "ANM6Easy"]
+__all__ = ["ANMEnv", "ANM6", "ANM6Easy", "BatchedEnv", "ANMVectorEnv"]

@@ -41,6 +41,7 @@ MODULES = [
     ("gym_anm_tpu.ops.linalg", None),
     ("gym_anm_tpu.envs.anm_env", None),
     ("gym_anm_tpu.envs.batched", None),
+    ("gym_anm_tpu.envs.vector", None),
     ("gym_anm_tpu.envs.utils", None),
     ("gym_anm_tpu.envs.anm6.anm6", None),
     ("gym_anm_tpu.envs.anm6.anm6_easy", None),
