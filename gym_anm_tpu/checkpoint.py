@@ -1,0 +1,92 @@
+"""Checkpoint / resume for environment and simulator state.
+
+The reference has no checkpointing at all (SURVEY §5: episode state is one
+vector, reproducibility is via Gymnasium seeding, ``anm_env.py:116,257``).
+Here every piece of dynamic state is an explicit JAX pytree
+(:class:`~gym_anm_tpu.core.env_core.EnvState`,
+:class:`~gym_anm_tpu.core.state.SimState`, PPO train state, ...), so
+checkpointing is a pure serialization problem.  This module provides a
+dependency-free ``.npz`` round-trip for arbitrary pytrees of arrays:
+
+    >>> save_pytree("rollout.npz", env_state)
+    >>> env_state = load_pytree("rollout.npz", like=env_state)
+
+``save_pytree`` stores the leaves (device arrays are fetched to host) plus a
+fingerprint of the tree structure; ``load_pytree`` restores onto the
+structure of a ``like`` template (any pytree with the same treedef — e.g. a
+freshly ``reset()`` state), verifying the fingerprint, leaf shapes, and
+dtypes so a stale or mismatched checkpoint fails loudly instead of producing
+garbage physics.
+
+Batched states checkpoint identically: a ``[B, ...]`` ``EnvState`` from
+:class:`~gym_anm_tpu.envs.batched.BatchedEnv` is just another pytree.
+
+For multi-host sharded states, fetch with
+``jax.experimental.multihost_utils.process_allgather`` (or save per-host
+shards) before calling :func:`save_pytree`; restoring onto a sharded
+template re-shards via the usual ``jax.device_put`` path in user code.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import numpy as np
+
+__all__ = ["save_pytree", "load_pytree"]
+
+_STRUCT_KEY = "__pytree_structure__"
+
+
+def _structure_fingerprint(treedef) -> str:
+    return str(treedef)
+
+
+def save_pytree(path: str, tree) -> None:
+    """Serialize a pytree of arrays/scalars to ``path`` (``.npz``).
+
+    Device arrays are copied to host.  The tree *structure* is stored as a
+    string fingerprint used for validation on load; the leaf payloads are
+    stored positionally in flattening order.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    payload = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    meta = {
+        "structure": _structure_fingerprint(treedef),
+        "n_leaves": len(leaves),
+        "shapes": [list(np.shape(leaf)) for leaf in leaves],
+        "dtypes": [str(np.asarray(leaf).dtype) for leaf in leaves],
+    }
+    payload[_STRUCT_KEY] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    with open(path, "wb") as fh:
+        np.savez(fh, **payload)
+
+
+def load_pytree(path: str, like):
+    """Restore a pytree saved by :func:`save_pytree`.
+
+    ``like`` supplies the tree structure (and expected leaf shapes/dtypes);
+    its leaf *values* are ignored.  Raises ``ValueError`` on any structure,
+    shape, or dtype mismatch.
+    """
+    with np.load(path) as data:
+        meta = json.loads(bytes(data[_STRUCT_KEY]).decode())
+        leaves_like, treedef = jax.tree_util.tree_flatten(like)
+        if meta["structure"] != _structure_fingerprint(treedef):
+            raise ValueError(
+                f"checkpoint structure mismatch:\n  saved: {meta['structure']}\n  expected: {treedef}"
+            )
+        if meta["n_leaves"] != len(leaves_like):
+            raise ValueError(f"checkpoint has {meta['n_leaves']} leaves, template has {len(leaves_like)}")
+        new_leaves = []
+        for i, ref_leaf in enumerate(leaves_like):
+            arr = data[f"leaf_{i}"]
+            want_shape = tuple(np.shape(ref_leaf))
+            want_dtype = np.asarray(ref_leaf).dtype
+            if arr.shape != want_shape:
+                raise ValueError(f"leaf {i}: saved shape {arr.shape} != template shape {want_shape}")
+            if arr.dtype != want_dtype:
+                raise ValueError(f"leaf {i}: saved dtype {arr.dtype} != template dtype {want_dtype}")
+            new_leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -57,6 +57,8 @@ MODULES = [
     ("gym_anm_tpu.constants", None),
     ("gym_anm_tpu.errors", None),
     ("gym_anm_tpu.utils", None),
+    ("gym_anm_tpu.checkpoint", None),
+    ("gym_anm_tpu.profiling", None),
 ]
 
 

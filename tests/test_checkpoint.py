@@ -1,0 +1,85 @@
+"""Checkpoint/resume round-trips and the step-rate counter."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gym_anm_tpu.checkpoint import save_pytree, load_pytree
+from gym_anm_tpu.envs.anm6.anm6_easy import make_core
+from gym_anm_tpu.envs.batched import BatchedEnv
+from gym_anm_tpu.profiling import StepRateCounter
+
+
+def _tree_allclose(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_env_state_roundtrip_resumes_identically(tmp_path):
+    """Saving mid-episode and resuming must reproduce the exact trajectory."""
+    core = make_core()
+    env = BatchedEnv(core, batch_size=4)
+    key = jax.random.PRNGKey(3)
+    k_reset, k1, k2 = jax.random.split(key, 3)
+    es, _ = env.reset(k_reset)
+
+    mid = 0.5 * (core.action_low + core.action_high)
+    actions = jnp.tile(jnp.asarray(mid)[None], (4, 1))
+    es1, out1 = env.step(es, actions, k1)
+
+    path = str(tmp_path / "mid_episode.npz")
+    save_pytree(path, es1)
+    es1b = load_pytree(path, like=es1)
+    _tree_allclose(es1, es1b)
+
+    es2a, out2a = env.step(es1, actions, k2)
+    es2b, out2b = env.step(es1b, actions, k2)
+    _tree_allclose(es2a, es2b)
+    np.testing.assert_allclose(np.asarray(out2a.reward), np.asarray(out2b.reward))
+
+
+def test_structure_and_shape_mismatches_raise(tmp_path):
+    core = make_core()
+    env = BatchedEnv(core, batch_size=2)
+    es, _ = env.reset(jax.random.PRNGKey(0))
+    path = str(tmp_path / "state.npz")
+    save_pytree(path, es)
+
+    # Wrong structure: a plain dict is not an EnvState.
+    with pytest.raises(ValueError, match="structure"):
+        load_pytree(path, like={"a": jnp.zeros(3)})
+
+    # Wrong batch size: same treedef, different leaf shapes.
+    env8 = BatchedEnv(core, batch_size=8)
+    es8, _ = env8.reset(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="shape"):
+        load_pytree(path, like=es8)
+
+
+def test_plain_pytree_roundtrip(tmp_path):
+    tree = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3), "b": (jnp.ones(3), 7 * jnp.ones(())), "n": jnp.asarray(5)}
+    path = str(tmp_path / "tree.npz")
+    save_pytree(path, tree)
+    back = load_pytree(path, like=tree)
+    _tree_allclose(tree, back)
+
+
+def test_step_rate_counter():
+    c = StepRateCounter()
+    with c.measure(1000):
+        pass
+    with c.measure(2000):
+        pass
+    assert c.n_samples == 2
+    assert c.total_steps == 3000
+    assert c.rate() > 0
+    assert c.median_rate() > 0
+    s = c.summary()
+    assert s["total_steps"] == 3000
+    c.reset()
+    assert c.n_samples == 0 and c.rate() == 0.0
