@@ -30,6 +30,7 @@ PAGES = [
     ("batching_and_scaling", os.path.join(DOCS, "batching_and_scaling.md"), "Batching & scaling"),
     ("mpc", os.path.join(DOCS, "mpc.md"), "MPC baselines"),
     ("rendering", os.path.join(DOCS, "rendering.md"), "Rendering"),
+    ("migration", os.path.join(DOCS, "migration.md"), "Migrating from gym-anm"),
     ("api", os.path.join(DOCS, "api.md"), "API reference"),
     ("quirks", os.path.join(DOCS, "quirks.md"), "Quirk ledger"),
 ]
