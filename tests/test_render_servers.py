@@ -1,0 +1,136 @@
+"""Server-level rendering tests: broadcast fan-out, init-message caching,
+dead-client tolerance, port fallback, and WebSocket frame sizes.
+
+Complements the end-to-end protocol test in test_render.py by exercising
+the server behaviors the reference relies on (reference servers.py:14-141:
+init caching + replay to late joiners, broadcast to all clients, tolerated
+client-removal races) directly, without an environment.
+"""
+
+import json
+import socket
+import time
+
+import pytest
+
+websocket = pytest.importorskip("websocket")
+
+from gym_anm_tpu.render.servers import HttpServer, WsServer
+from gym_anm_tpu.render import rendering
+
+
+def _connect(address, timeout=10):
+    return websocket.create_connection(address, timeout=timeout)
+
+
+@pytest.fixture()
+def ws_server():
+    srv = WsServer()
+    # Wait for the accept loop to come up.
+    deadline = time.time() + 15
+    while time.time() < deadline:
+        try:
+            c = _connect(srv.address, timeout=2)
+            c.close()
+            break
+        except OSError:
+            time.sleep(0.1)
+    else:
+        srv.process.terminate()
+        pytest.fail("WS server did not come up")
+    yield srv
+    srv.process.terminate()
+    srv.process.join(timeout=5)
+
+
+@pytest.mark.timeout(60)
+def test_broadcast_init_cache_and_dead_client(ws_server):
+    producer = _connect(ws_server.address)
+
+    # Clients joining BEFORE init see nothing yet.
+    early = _connect(ws_server.address)
+
+    init = json.dumps({"messageLabel": "init", "deviceType": [0, -1]})
+    producer.send(init)
+    assert json.loads(early.recv())["messageLabel"] == "init"
+
+    # A late joiner receives the cached init immediately (reference
+    # servers.py: cached init replayed to new clients).
+    late = _connect(ws_server.address)
+    assert json.loads(late.recv()) == json.loads(init)
+
+    # Updates broadcast to every listener but not back to the producer.
+    upd1 = json.dumps({"messageLabel": "update", "t": 1})
+    producer.send(upd1)
+    assert json.loads(early.recv())["t"] == 1
+    assert json.loads(late.recv())["t"] == 1
+
+    # Kill one client abruptly; the server must keep serving the others.
+    early.sock.close()
+    time.sleep(0.2)
+    upd2 = json.dumps({"messageLabel": "update", "t": 2})
+    producer.send(upd2)
+    assert json.loads(late.recv())["t"] == 2
+
+    producer.close()
+    late.close()
+
+
+@pytest.mark.timeout(60)
+def test_large_frames_roundtrip(ws_server):
+    """Frames >125 B (16-bit length) and >65535 B (64-bit length) survive."""
+    producer = _connect(ws_server.address)
+    listener = _connect(ws_server.address)
+
+    for n in (300, 70_000):
+        msg = json.dumps({"messageLabel": "update", "blob": "x" * n})
+        producer.send(msg)
+        got = json.loads(listener.recv())
+        assert got["blob"] == "x" * n
+
+    producer.close()
+    listener.close()
+
+
+@pytest.mark.timeout(60)
+def test_ws_port_fallback():
+    """When the default port is taken, the server binds a free one."""
+    blocker = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    blocker.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    blocker.bind(("127.0.0.1", WsServer.DEFAULT_PORT))
+    blocker.listen(1)
+    try:
+        srv = WsServer()
+        try:
+            assert srv.port != WsServer.DEFAULT_PORT
+        finally:
+            srv.process.terminate()
+            srv.process.join(timeout=5)
+    finally:
+        blocker.close()
+
+
+@pytest.mark.timeout(60)
+def test_http_serves_client_and_written_html(tmp_path):
+    """write_html points the served page at the given WS address and the
+    HTTP server serves it (reference rendering.py:184-223, servers.py:144-197)."""
+    import requests
+
+    rendering.write_html("ws://127.0.0.1:4242")
+    srv = HttpServer(rendering.WEB_FOLDER)
+    try:
+        deadline = time.time() + 15
+        page = None
+        while time.time() < deadline:
+            try:
+                page = requests.get(srv.address + "/", timeout=2)
+                break
+            except requests.ConnectionError:
+                time.sleep(0.1)
+        assert page is not None and page.status_code == 200
+        assert 'wsServerAddress = "ws://127.0.0.1:4242"' in page.text
+        js = requests.get(srv.address + "/app.js", timeout=10)
+        assert js.status_code == 200 and len(js.text) > 1000
+    finally:
+        srv.process.terminate()
+        srv.process.join(timeout=5)
