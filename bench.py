@@ -37,7 +37,7 @@ def main():
         help="NR solver path ('fused*' = whole-transition Pallas kernel); "
         "default: the env's calibrated solver (pallas for anm6easy, hybrid for feeder33)",
     )
-    ap.add_argument("--env", default="anm6easy", choices=["anm6easy", "feeder33"])
+    ap.add_argument("--env", default="anm6easy", choices=["anm6easy", "feeder33", "feeder141"])
     ap.add_argument("--tail", type=int, default=None, help="NR iteration budget (tail for --pf hybrid)")
     args = ap.parse_args()
 
@@ -45,13 +45,16 @@ def main():
 
     if args.env == "feeder33":
         from gym_anm_tpu.envs.feeder33 import make_core
+    elif args.env == "feeder141":
+        from gym_anm_tpu.envs.feeder141 import make_core
     else:
         from gym_anm_tpu.envs.anm6.anm6_easy import make_core
 
     if args.pf is None:
         # Each env's calibrated default: pure Pallas NR wins at 6 buses,
-        # the chord+NR hybrid wins 2.3x at 33 buses.
-        args.pf = "hybrid" if args.env == "feeder33" else "pallas"
+        # the chord+NR hybrid wins 2.3x at 33 buses and is the only option
+        # that avoids 560x560 per-lane eliminations at 141.
+        args.pf = "pallas" if args.env == "anm6easy" else "hybrid"
     kw = {}
     if args.tail is not None:
         kw["pf_max_iter"] = args.tail

@@ -27,6 +27,11 @@ register(
     entry_point="gym_anm_tpu.envs.feeder33:Feeder33Env",
 )
 
+register(
+    id="ANMFeeder141-v0",
+    entry_point="gym_anm_tpu.envs.feeder141:Feeder141Env",
+)
+
 __all__ = [
     "ANMEnv",
     "ANM6",

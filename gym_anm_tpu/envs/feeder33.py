@@ -85,7 +85,7 @@ class Feeder33Env(ANMEnv):
     (Ornstein-Uhlenbeck-like mean-reverting noise around a daily profile)
     and renewable potentials."""
 
-    def __init__(self, seed=None):
+    def __init__(self, seed=None, network=None):
         observation = "state"
         K = 1
         delta_t = 0.25
@@ -93,7 +93,8 @@ class Feeder33Env(ANMEnv):
         lamb = 100
         aux_bounds = np.array([[0, 95]])
         costs_clipping = (1, 100)
-        super().__init__(_NETWORK, observation, K, delta_t, gamma, lamb, aux_bounds, costs_clipping, seed)
+        net = _NETWORK if network is None else network
+        super().__init__(net, observation, K, delta_t, gamma, lamb, aux_bounds, costs_clipping, seed)
         spec = self.simulator.spec
         self._load_scale = -np.asarray(spec.load_p_min) * spec.baseMVA
         self._pv_scale = np.asarray(spec.gen_p_max) * spec.baseMVA
@@ -131,7 +132,7 @@ def _daily_factor(t):
     return 0.75 + 0.25 * np.sin(2 * np.pi * (np.asarray(t, dtype=float) / 96.0 - 0.3))
 
 
-def make_core(dtype=None, pf_max_iter=None, pf_method="hybrid"):
+def make_core(dtype=None, pf_max_iter=None, pf_method="hybrid", network=None, chord_iters=16):
     """Pure-functional EnvCore for the feeder (batched fast path).
 
     Default solver: ``pf_method="hybrid"`` -- 16 chord iterations with the
@@ -150,7 +151,8 @@ def make_core(dtype=None, pf_max_iter=None, pf_method="hybrid"):
     from ..core.grid import build_grid
     from ..core.obs import state_values_spec
 
-    spec, _ = build_grid(_NETWORK, delta_t=0.25, lamb=100, dtype=dtype)
+    net = _NETWORK if network is None else network
+    spec, _ = build_grid(net, delta_t=0.25, lamb=100, dtype=dtype)
     K = 1
     load_scale = jnp.asarray(-np.asarray(spec.load_p_min) * spec.baseMVA, dtype=spec.dtype)
     pv_scale = jnp.asarray(np.asarray(spec.gen_p_max) * spec.baseMVA, dtype=spec.dtype)
@@ -194,4 +196,5 @@ def make_core(dtype=None, pf_max_iter=None, pf_method="hybrid"):
         next_vars_fn=next_vars_fn,
         max_iter=pf_max_iter,
         pf_method=pf_method,
+        chord_iters=chord_iters,
     )

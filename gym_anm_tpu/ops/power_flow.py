@@ -92,6 +92,29 @@ def solve_ge_lanes(A, b):
     return x
 
 
+def _solve_linear_lanes(A, b):
+    """Solve ``A x = b`` batch-last: A [n, n, B], b [n, B] -> x [n, B].
+
+    Dispatches on system size at trace time: the statically-unrolled
+    lane-major Gaussian elimination (``solve_ge_lanes``) is the fast path
+    for the small systems the batched envs solve (n <= ~128) and the only
+    portable path on restricted TPU runtimes, but its 2n unrolled trace
+    steps make compile time quadratic-ish in n.  For large systems on
+    non-TPU backends (e.g. 560x560 Jacobians of the 141-bus network in the
+    CPU test/parity configuration) LAPACK via ``jnp.linalg.solve`` is both
+    instant to compile and faster to run.  Singular lanes yield inf/NaN in
+    either path (LAPACK's batched solve propagates NaNs rather than
+    raising under jit), which callers detect as divergence.
+    """
+    import jax
+
+    n = A.shape[0]
+    if n >= 128 and jax.default_backend() != "tpu":
+        X = jnp.linalg.solve(jnp.moveaxis(A, -1, 0), jnp.moveaxis(b, -1, 0)[..., None])
+        return jnp.moveaxis(X[..., 0], 0, -1)
+    return solve_ge_lanes(A, b)
+
+
 def _construct_v(theta, vm):
     """V = [1+0j, vm exp(j theta)] as (re, im), shapes [m, B] -> [n, B]."""
     one = jnp.ones((1,) + theta.shape[1:], dtype=vm.dtype)
@@ -289,7 +312,7 @@ def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan", chord_i
     def nr_update(theta, vm, F, ivr, ivi):
         vr, vi = _construct_v(theta, vm)
         J = _jacobian(vr, vi, ivr, ivi, Y_re, Y_im)
-        dx = solve_ge_lanes(J, F)
+        dx = _solve_linear_lanes(J, F)
         theta_n = theta - dx[:m]
         vm_n = vm - dx[m:]
         vr, vi = _construct_v(theta_n, vm_n)
@@ -297,7 +320,15 @@ def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan", chord_i
         F_n = _mismatch(vr, vi, ivr_n, ivi_n, pT, qT)
         return theta_n, vm_n, F_n, jnp.max(jnp.abs(F_n), axis=0), ivr_n, ivi_n
 
-    if method == "while":
+    if max_iter == 0:
+        # Chord-only configuration (method="hybrid", max_iter=0): skip the
+        # NR phase entirely -- important at large n, where even *tracing*
+        # nr_update's per-lane Jacobian build ([2m, 2m, B] exceeds HBM at
+        # production batch sizes) and unrolled elimination must be avoided.
+        # Lanes the chord phase could not converge keep diff > x_tol and
+        # are flagged unconverged below, like NR-budget exhaustion.
+        theta, vm, diff, n_iter = theta0, vm0, diff0, jnp.zeros((B,), dtype=jnp.int32)
+    elif method == "while":
         # Early-exit loop; exits when every lane has converged/diverged.
         def cond(c):
             _, _, _, diff, it, _, _ = c

@@ -46,6 +46,7 @@ MODULES = [
     ("gym_anm_tpu.envs.anm6.anm6", None),
     ("gym_anm_tpu.envs.anm6.anm6_easy", None),
     ("gym_anm_tpu.envs.feeder33", None),
+    ("gym_anm_tpu.envs.feeder141", None),
     ("gym_anm_tpu.agents.mpc", None),
     ("gym_anm_tpu.agents.mpc_constant", None),
     ("gym_anm_tpu.agents.mpc_perfect", None),
