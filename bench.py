@@ -119,6 +119,12 @@ def main():
 
     rew_h = np.asarray(rew)
     term_h = np.asarray(term)
+    # Secondary metric (BASELINE.md): NR-solve iterations/s.  Every env step
+    # runs a fixed masked iteration budget, so iterations/s is exact.
+    if args.pf in ("hybrid", "fused_hybrid"):
+        iters_per_step = core.chord_iters + core.max_iter
+    else:
+        iters_per_step = core.max_iter
     result = {
         "metric": "env-steps/s/chip",
         "value": round(sps, 1),
@@ -139,6 +145,8 @@ def main():
                     "backend": jax.default_backend(),
                     "mean_reward": float(rew_h.mean()),
                     "terminated_frac": float(term_h.mean()),
+                    "nr_iterations_per_s": round(sps * iters_per_step, 1),
+                    "nr_iters_per_step": iters_per_step,
                 }
             }
         ),

@@ -1,3 +1,4 @@
 from .ppo import PPOConfig, PPOTrainer, ActorCritic
+from .sac import SACConfig, SACTrainer
 
-__all__ = ["PPOConfig", "PPOTrainer", "ActorCritic"]
+__all__ = ["PPOConfig", "PPOTrainer", "ActorCritic", "SACConfig", "SACTrainer"]

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Batched DC-OPF MPC throughput benchmark (BASELINE.md secondary metric).
+
+Times ``MPCAgentConstant.act_batch`` — the fully on-device batched ADMM
+DC-OPF solve (agents/mpc.py:_admm_batch_full, one jitted program with
+per-lane adaptive rho) — over B environment lanes of ANM6Easy-v0 at a
+given planning horizon.  The reference solves one CVXPY/ECOS program per
+env per step (reference mpc.py:372-393); here a whole fleet is one XLA
+program.
+
+Prints ONE JSON line per (batch, horizon) config:
+
+    {"metric": "mpc-solves/s", "value": N, "unit": "solves/s",
+     "detail": {...}}
+"""
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, nargs="+", default=[1024])
+    ap.add_argument("--horizon", type=int, nargs="+", default=[1, 3, 10])
+    ap.add_argument("--iters", type=int, default=5, help="timed act_batch calls")
+    ap.add_argument("--env-steps", type=int, default=8, help="random env steps before the bench state")
+    args = ap.parse_args()
+
+    import jax
+
+    import gym_anm_tpu  # noqa: F401  (registers envs)
+    from gym_anm_tpu.agents import MPCAgentConstant
+    from gym_anm_tpu.envs.anm6.anm6_easy import ANM6Easy, make_core
+    from gym_anm_tpu.envs.batched import BatchedEnv
+
+    host_env = ANM6Easy()
+    host_env.reset(seed=0)
+
+    for B in args.batch:
+        env = BatchedEnv(make_core(), batch_size=B)
+        key = jax.random.PRNGKey(0)
+        k_reset, k_run = jax.random.split(key)
+        es, _ = env.reset(k_reset)
+        run = jax.jit(env.rollout_fn(policy_fn=None, n_steps=args.env_steps))
+        es, _ = run(es, k_run)
+        state_vecs = np.asarray(es.state_vec)
+
+        for N in args.horizon:
+            agent = MPCAgentConstant(
+                host_env.simulator, host_env.action_space, host_env.gamma, planning_steps=N
+            )
+            t0 = time.time()
+            acts = agent.act_batch(state_vecs)  # compile + first solve
+            compile_s = time.time() - t0
+
+            times = []
+            for _ in range(args.iters):
+                t0 = time.time()
+                acts = agent.act_batch(state_vecs)
+                times.append(time.time() - t0)
+            med = statistics.median(times)
+
+            print(
+                json.dumps(
+                    {
+                        "metric": "mpc-solves/s",
+                        "value": round(B / med, 1),
+                        "unit": "solves/s",
+                        "detail": {
+                            "batch": B,
+                            "horizon": N,
+                            "median_s_per_batch": round(med, 4),
+                            "first_call_s": round(compile_s, 2),
+                            "backend": jax.default_backend(),
+                            "mean_abs_action_mw": round(float(np.abs(acts).mean()), 3),
+                        },
+                    }
+                )
+            )
+            sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

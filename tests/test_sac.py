@@ -1,0 +1,82 @@
+"""SAC trainer: replay-buffer mechanics, finite losses, learning signal."""
+
+import numpy as np
+import jax
+
+from gym_anm_tpu.envs.anm6.anm6_easy import make_core
+from gym_anm_tpu.rl import SACConfig, SACTrainer
+
+
+def _small_cfg(**kw):
+    base = dict(
+        buffer_capacity=1024,
+        collect_steps=4,
+        grad_steps=4,
+        train_batch=64,
+        hidden=(32, 32),
+    )
+    base.update(kw)
+    return SACConfig(**base)
+
+
+def test_replay_ring_and_train_step_mechanics():
+    trainer = SACTrainer(make_core(), batch_size=16, config=_small_cfg(), seed=0)
+    key = jax.random.PRNGKey(0)
+    es, rb, obs = trainer.init_envs(key)
+    assert int(rb.size) == 0
+
+    es, rb, obs = trainer.warmup(es, rb, obs, jax.random.PRNGKey(1))
+    assert int(rb.size) == 16 * 4
+    assert int(rb.ptr) == 16 * 4
+    # Stored rows are real transitions: finite obs, rewards <= 0 (ANM costs).
+    filled = np.asarray(rb.obs[: int(rb.size)])
+    assert np.isfinite(filled).all()
+    assert (np.asarray(rb.reward[: int(rb.size)]) <= 1e-9).all()
+
+    state, es, rb, obs, metrics = trainer._train_step(trainer.state, es, rb, obs, jax.random.PRNGKey(2))
+    for k in ("critic_loss", "actor_loss", "q_mean", "alpha", "mean_reward"):
+        assert np.isfinite(float(metrics[k])), k
+    assert float(metrics["alpha"]) > 0.0
+
+
+def test_replay_wraps_without_straddling():
+    cfg = _small_cfg(buffer_capacity=128, collect_steps=3)
+    trainer = SACTrainer(make_core(), batch_size=16, config=cfg, seed=0)
+    es, rb, obs = trainer.init_envs(jax.random.PRNGKey(0))
+    # 128 / (16*3) is fractional: after 4 warmup rounds the ring has wrapped.
+    for i in range(4):
+        es, rb, obs = trainer.warmup(es, rb, obs, jax.random.PRNGKey(i))
+    assert int(rb.size) == 128
+    assert int(rb.ptr) == 16 * 3 * 4
+    assert np.isfinite(np.asarray(rb.obs)).all()
+
+
+def test_sac_learns_on_anm6easy():
+    """Collect-phase reward improves once the critic sees collapse penalties
+    (same early signal as the PPO test: stop collapsing the grid)."""
+    cfg = SACConfig(
+        buffer_capacity=2**13,
+        collect_steps=16,
+        grad_steps=64,
+        train_batch=256,
+        hidden=(64, 64),
+        lr=1e-3,
+    )
+    trainer = SACTrainer(make_core(), batch_size=32, config=cfg, seed=0)
+    history = trainer.train(iterations=10, key=jax.random.PRNGKey(0))
+    first3 = np.mean([m["mean_reward"] for m in history[:3]])
+    last3 = np.mean([m["mean_reward"] for m in history[-3:]])
+    assert last3 > first3 + 5.0, (first3, last3)
+
+
+def test_sac_checkpoint_roundtrip(tmp_path):
+    trainer = SACTrainer(make_core(), batch_size=8, config=_small_cfg(), seed=0)
+    trainer.train(iterations=1, warmup_rounds=1, key=jax.random.PRNGKey(0))
+    path = str(tmp_path / "sac.pkl")
+    trainer.save(path)
+
+    t2 = SACTrainer(make_core(), batch_size=8, config=_small_cfg(), seed=1)
+    t2.load(path)
+    for a, b in zip(jax.tree.leaves(trainer.state), jax.tree.leaves(t2.state)):
+        if hasattr(a, "shape"):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
