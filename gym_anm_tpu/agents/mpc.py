@@ -335,20 +335,30 @@ class MPCAgent:
             Bsz = ls.shape[0]
             eye = jnp.eye(Aj.shape[1], dtype=Aj.dtype)
 
-            def factor(rho):  # rho [B, m] -> L [B, n, n]
+            def factor_inv(rho):  # rho [B, m] -> K^-1 [B, n, n]
+                # Explicit inverse (via the Cholesky factor) instead of two
+                # triangular solves *per iteration*: substitution is
+                # sequential and starves the MXU, so on TPU the inner loop
+                # below would otherwise dominate the whole solve.  K is SPD
+                # with sigma-regularization; ADMM tolerates the inexact
+                # solve (it is a fixed-point iteration) and the host path
+                # (`_admm` + `_polish`) keeps the backward-stable solves.
                 K = sigma * eye[None] + jnp.einsum("mi,Bm,mj->Bij", Aj, rho, Aj)
-                return jnp.linalg.cholesky(K)
+                L = jnp.linalg.cholesky(K)
+                eyeB = jnp.broadcast_to(eye, K.shape)
+                h = jax.scipy.linalg.solve_triangular(L, eyeB, lower=True)
+                return jax.scipy.linalg.solve_triangular(
+                    jnp.swapaxes(L, -1, -2), h, lower=False
+                )
 
             def chunk(carry, _):
                 x, z, y, rho = carry  # x [B, n], z/y/rho [B, m]
-                L = factor(rho)
-                LT = jnp.swapaxes(L, -1, -2)
+                Kinv = factor_inv(rho)
 
                 def body(c, _):
                     x, z, y = c
                     b = sigma * x - qj[None] + jnp.einsum("mn,Bm->Bn", Aj, rho * z - y)
-                    h = jax.scipy.linalg.solve_triangular(L, b[..., None], lower=True)
-                    x_new = jax.scipy.linalg.solve_triangular(LT, h, lower=False)[..., 0]
+                    x_new = jnp.einsum("Bij,Bj->Bi", Kinv, b)
                     Ax = jnp.einsum("mn,Bn->Bm", Aj, x_new)
                     z_t = alpha * Ax + (1 - alpha) * z
                     z_new = jnp.clip(z_t + y / rho, ls, us)

@@ -2,6 +2,16 @@ from .anm_env import ANMEnv
 from .anm6.anm6 import ANM6
 from .anm6.anm6_easy import ANM6Easy
 from .batched import BatchedEnv
+from .randomized import MultiBatchedEnv, perturb_branches, randomized_anm6easy_cores
 from .vector import ANMVectorEnv
 
-__all__ = ["ANMEnv", "ANM6", "ANM6Easy", "BatchedEnv", "ANMVectorEnv"]
+__all__ = [
+    "ANMEnv",
+    "ANM6",
+    "ANM6Easy",
+    "BatchedEnv",
+    "ANMVectorEnv",
+    "MultiBatchedEnv",
+    "perturb_branches",
+    "randomized_anm6easy_cores",
+]

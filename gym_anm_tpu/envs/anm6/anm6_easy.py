@@ -142,7 +142,7 @@ class ANM6Easy(ANM6):
         return anm6easy_next_vars(s_t, self._P_loads_j, self._P_maxs_j)
 
 
-def make_core(dtype=None, pf_max_iter=10, pf_method="pallas"):
+def make_core(dtype=None, pf_max_iter=10, pf_method="pallas", network=None):
     """Build the pure-functional ANM6Easy :class:`EnvCore` (no Gymnasium
     adapter, no host hooks) -- the batched/vmapped fast path used by
     :class:`gym_anm_tpu.envs.batched.BatchedEnv` and the benchmarks.
@@ -152,14 +152,20 @@ def make_core(dtype=None, pf_max_iter=10, pf_method="pallas"):
     (p99.9 = 6); NR either converges quadratically within that budget or
     diverges, so 10 fixed masked iterations reproduce the reference's
     100-cap semantics on the straight-line TPU path.  Pass
-    ``pf_max_iter=100, pf_method="while"`` for the exact host semantics."""
+    ``pf_max_iter=100, pf_method="while"`` for the exact host semantics.
+
+    ``network`` overrides the canonical 6-bus dict (same topology/device
+    layout required) -- used for domain randomization over grid parameters
+    (see :mod:`gym_anm_tpu.envs.randomized`)."""
     import jax.numpy as jnp
 
     from ...core.env_core import EnvCore
     from ...core.grid import build_grid
     from ...core.obs import state_values_spec
-    from .network import network
+    from .network import network as _canonical_network
 
+    if network is None:
+        network = _canonical_network
     spec, _ = build_grid(network, delta_t=0.25, lamb=100, dtype=dtype)
     P_loads = jnp.asarray(_get_load_time_series(), dtype=spec.dtype)
     P_maxs = jnp.asarray(_get_gen_time_series(), dtype=spec.dtype)

@@ -1,0 +1,206 @@
+"""Domain randomization over grid parameters: heterogeneous env fleets.
+
+The reference binds one environment class to one network dict; here a fleet
+of G grid *variants* (same topology and device layout, different electrical
+parameters) steps inside a single XLA program, each variant driving L
+lockstep lanes.  Use cases: training policies robust to line-impedance /
+rating uncertainty, and sensitivity sweeps.
+
+Design note: each variant keeps its own :class:`EnvCore` whose ``GridSpec``
+leaves remain **numpy constants**, so XLA constant-folds every variant's
+admittance matrix and flat-start Jacobian inverse exactly as in the
+single-grid fast path (see docs/quirks.md on GridSpec constant folding).
+The per-variant step programs are inlined side by side into one jitted
+function -- embarrassingly parallel, no cross-variant communication --
+rather than vmapping over a traced spec (which would defeat the trace-time
+J0inv optimization).  Intended for small G (tens of variants); lanes L
+provide the wide batch axis.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import BRANCH_H
+from ..core.env_core import EnvCore
+from .batched import BatchedEnv, BatchedStep
+
+
+def perturb_branches(
+    network: dict,
+    rng: np.random.Generator,
+    r_sigma: float = 0.1,
+    x_sigma: float = 0.1,
+    b_sigma: float = 0.0,
+    rate_sigma: float = 0.0,
+) -> dict:
+    """Return a copy of ``network`` with multiplicative lognormal jitter on
+    branch series resistance/reactance (and optionally shunt susceptance and
+    thermal rating).
+
+    Zero entries stay zero (a branch with r=0 stays purely reactive), taps
+    and phase shifts are untouched, and the perturbed dict goes through the
+    same eager validation as any other network when a ``GridSpec`` is built
+    from it.
+    """
+    net = copy.deepcopy(network)
+    br = np.array(net["branch"], dtype=float)
+    for col, sigma in (
+        (BRANCH_H["BR_R"], r_sigma),
+        (BRANCH_H["BR_X"], x_sigma),
+        (BRANCH_H["BR_B"], b_sigma),
+        (BRANCH_H["RATE"], rate_sigma),
+    ):
+        if sigma <= 0.0:
+            continue
+        factors = np.exp(rng.normal(0.0, sigma, size=br.shape[0]))
+        finite = np.isfinite(br[:, col])
+        br[finite, col] = br[finite, col] * factors[finite]
+    net["branch"] = br
+    return net
+
+
+def randomized_anm6easy_cores(
+    n_variants: int,
+    seed: int = 0,
+    r_sigma: float = 0.1,
+    x_sigma: float = 0.1,
+    b_sigma: float = 0.0,
+    rate_sigma: float = 0.0,
+    include_nominal: bool = True,
+    **make_core_kw,
+) -> list[EnvCore]:
+    """Build G ANM6Easy cores over independently perturbed 6-bus networks.
+
+    With ``include_nominal`` the first variant is the canonical network (so
+    the nominal task is always in the training distribution)."""
+    from .anm6.anm6_easy import make_core
+    from .anm6.network import network as nominal
+
+    rng = np.random.default_rng(seed)
+    cores = []
+    for g in range(n_variants):
+        if g == 0 and include_nominal:
+            cores.append(make_core(**make_core_kw))
+        else:
+            cores.append(
+                make_core(
+                    network=perturb_branches(
+                        nominal, rng, r_sigma=r_sigma, x_sigma=x_sigma, b_sigma=b_sigma, rate_sigma=rate_sigma
+                    ),
+                    **make_core_kw,
+                )
+            )
+    return cores
+
+
+class MultiBatchedEnv:
+    """G grid variants x L lockstep lanes, stepped as one jitted program.
+
+    All cores must share action/observation sizes (same device layout).
+    Arrays carry a leading ``[G, L]`` pair of axes; the per-variant
+    environment states are held as a G-tuple pytree (their GridSpec-derived
+    shapes are identical, but keeping them separate preserves per-variant
+    constant folding).
+    """
+
+    def __init__(self, cores: Sequence[EnvCore], lanes_per_variant: int, auto_reset: bool = False):
+        if not cores:
+            raise ValueError("need at least one variant core")
+        a0, o0 = cores[0].action_n, cores[0].obs_n
+        for c in cores[1:]:
+            if c.action_n != a0 or c.obs_n != o0:
+                raise ValueError("all variant cores must share action/observation sizes")
+        self.cores = list(cores)
+        self.G = len(self.cores)
+        self.L = int(lanes_per_variant)
+        self.envs = [BatchedEnv(c, self.L, auto_reset=auto_reset) for c in self.cores]
+        self.action_n = a0
+        self.obs_n = o0
+        self._reset = jax.jit(self._reset_fn)
+        self._step = jax.jit(self._step_fn)
+
+    # ------------------------------------------------------------------
+    def _reset_fn(self, key):
+        keys = jax.random.split(key, self.G)
+        states, outs = [], []
+        for g, env in enumerate(self.envs):
+            es, out = env.core.reset(keys[g], batch_shape=(self.L,), attempts=env.reset_attempts)
+            states.append(es)
+            outs.append(out)
+        dt = self.cores[0].spec.dtype
+        return tuple(states), BatchedStep(
+            obs=jnp.stack([o.obs for o in outs]),
+            reward=jnp.zeros((self.G, self.L), dtype=dt),
+            terminated=jnp.zeros((self.G, self.L), dtype=bool),
+            state_vec=jnp.stack([o.state_vec for o in outs]),
+        )
+
+    def _step_fn(self, states, actions, key):
+        """``actions [G, L, action_n]``; per-variant internal vars are
+        sampled from per-variant key splits."""
+        keys = jax.random.split(key, self.G)
+        new_states, outs = [], []
+        for g, env in enumerate(self.envs):
+            es, out = env.step_fn(states[g], actions[g], keys[g])
+            new_states.append(es)
+            outs.append(out)
+        stack = lambda f: jnp.stack([f(o) for o in outs])
+        return tuple(new_states), BatchedStep(
+            obs=stack(lambda o: o.obs),
+            reward=stack(lambda o: o.reward),
+            terminated=stack(lambda o: o.terminated),
+            state_vec=stack(lambda o: o.state_vec),
+        )
+
+    # ------------------------------------------------------------------
+    def reset(self, key):
+        return self._reset(key)
+
+    def step(self, states, actions, key):
+        return self._step(states, actions, key)
+
+    def rollout_fn(self, policy_fn: Optional[Callable] = None, n_steps: int = 1):
+        """Jittable multi-variant rollout ``run(states, key, policy_args)``.
+
+        ``policy_fn(policy_args, obs [G, L, obs_n], key) -> [G, L, action_n]``
+        sees the whole heterogeneous fleet at once (one policy across all
+        variants -- the domain-randomization training setup); None draws
+        uniform random actions.  Returns ``(states, (reward, terminated))``
+        stacked ``[T, G, L]``.
+        """
+        core0 = self.cores[0]
+        lo = jnp.asarray(core0.action_low, dtype=core0.spec.dtype)
+        hi = jnp.asarray(core0.action_high, dtype=core0.spec.dtype)
+        need_obs = policy_fn is not None
+
+        def uniform_policy(_, obs, key):
+            u = jax.random.uniform(key, (self.G, self.L, self.action_n), core0.spec.dtype)
+            return u * (hi - lo) + lo
+
+        pol = policy_fn or uniform_policy
+
+        def body(carry, key):
+            states, policy_args = carry
+            k_act, k_step = jax.random.split(key)
+            obs = (
+                jnp.stack([self.cores[g].observation(states[g]) for g in range(self.G)])
+                if need_obs
+                else None
+            )
+            actions = pol(policy_args, obs, k_act)
+            states, out = self._step_fn(states, actions, k_step)
+            ys = (out.reward, out.terminated) if not need_obs else (obs, actions, out.reward, out.terminated)
+            return (states, policy_args), ys
+
+        def run(states, key, policy_args=None):
+            keys = jax.random.split(key, n_steps)
+            (states, _), traj = jax.lax.scan(body, (states, policy_args), keys)
+            return states, traj
+
+        return run

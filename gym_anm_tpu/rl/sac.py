@@ -223,21 +223,22 @@ class SACTrainer:
 
         def critic_loss_fn(critic_params, state, batch, key):
             obs, u, reward, next_obs, done = batch
+            # Critics take the squashed action u in [-1, 1] (same scale as the
+            # normalized observations), not the MW/MVAr env action.
             u_next, logp_next = self._sample_u(state["actor"], next_obs, key)
-            a_next = self._to_env_action(u_next)
-            q1t, q2t = self.critic.apply(state["target"], self._norm_obs(next_obs), a_next)
+            q1t, q2t = self.critic.apply(state["target"], self._norm_obs(next_obs), u_next)
             alpha = jnp.exp(state["log_alpha"])
             nonterm = 1.0 - done.astype(reward.dtype)
             target = cfg.reward_scale * reward + cfg.gamma * nonterm * (
                 jnp.minimum(q1t, q2t) - alpha * logp_next
             )
             target = jax.lax.stop_gradient(target)
-            q1, q2 = self.critic.apply(critic_params, self._norm_obs(obs), self._to_env_action(u))
+            q1, q2 = self.critic.apply(critic_params, self._norm_obs(obs), u)
             return 0.5 * jnp.mean((q1 - target) ** 2 + (q2 - target) ** 2), (q1.mean(),)
 
         def actor_loss_fn(actor_params, state, obs, key):
             u, logp = self._sample_u(actor_params, obs, key)
-            q1, q2 = self.critic.apply(state["critic"], self._norm_obs(obs), self._to_env_action(u))
+            q1, q2 = self.critic.apply(state["critic"], self._norm_obs(obs), u)
             alpha = jnp.exp(state["log_alpha"])
             return jnp.mean(alpha * logp - jnp.minimum(q1, q2)), logp
 

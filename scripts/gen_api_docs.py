@@ -53,6 +53,7 @@ MODULES = [
     ("gym_anm_tpu.parallel.sharding", None),
     ("gym_anm_tpu.rl.ppo", None),
     ("gym_anm_tpu.rl.sac", None),
+    ("gym_anm_tpu.envs.randomized", None),
     ("gym_anm_tpu.render.rendering", None),
     ("gym_anm_tpu.render.servers", None),
     ("gym_anm_tpu.simulator.facade", None),

@@ -1,0 +1,108 @@
+"""Domain randomization: perturbed networks, multi-variant fleet stepping."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gym_anm_tpu.constants import BRANCH_H
+from gym_anm_tpu.envs.anm6.anm6_easy import make_core
+from gym_anm_tpu.envs.anm6.network import network as nominal_network
+from gym_anm_tpu.envs.batched import BatchedEnv
+from gym_anm_tpu.envs.randomized import (
+    MultiBatchedEnv,
+    perturb_branches,
+    randomized_anm6easy_cores,
+)
+
+
+def test_perturb_branches_properties():
+    rng = np.random.default_rng(0)
+    net = perturb_branches(nominal_network, rng, r_sigma=0.2, x_sigma=0.2)
+    br0 = np.array(nominal_network["branch"], dtype=float)
+    br1 = np.array(net["branch"], dtype=float)
+    # Topology untouched, impedances jittered but sign/zero-preserving.
+    np.testing.assert_array_equal(br0[:, BRANCH_H["F_BUS"]], br1[:, BRANCH_H["F_BUS"]])
+    np.testing.assert_array_equal(br0[:, BRANCH_H["T_BUS"]], br1[:, BRANCH_H["T_BUS"]])
+    np.testing.assert_array_equal(br0[:, BRANCH_H["RATE"]], br1[:, BRANCH_H["RATE"]])
+    r0, r1 = br0[:, BRANCH_H["BR_R"]], br1[:, BRANCH_H["BR_R"]]
+    assert ((r0 == 0) == (r1 == 0)).all()
+    assert (r1[r0 > 0] > 0).all()
+    assert not np.allclose(r0, r1)
+    # The original dict is untouched.
+    np.testing.assert_array_equal(np.array(nominal_network["branch"], dtype=float), br0)
+    # The perturbed network builds a valid core.
+    make_core(network=net)
+
+
+def test_multi_env_nominal_variant_matches_single_env():
+    """Variant dynamics are exact: two copies of the nominal grid inside the
+    fleet produce identical trajectories to each other, and variant-0
+    matches a plain BatchedEnv driven by the same step keys and actions."""
+    L = 8
+    cores = [make_core(), make_core()]  # G=2, both nominal
+    multi = MultiBatchedEnv(cores, lanes_per_variant=L)
+    single = BatchedEnv(make_core(), batch_size=L)
+
+    k0 = jax.random.PRNGKey(0)
+    states, first = multi.reset(k0)
+    # Same per-variant reset keys as the multi env uses internally.
+    keys = jax.random.split(k0, 2)
+    es_s, first_s = single.reset(keys[0])
+    np.testing.assert_allclose(np.asarray(first.obs[0]), np.asarray(first_s.obs), rtol=0, atol=0)
+
+    # Force both variants onto identical initial states so their (identical)
+    # dynamics can be compared lane-by-lane.
+    states = (es_s, es_s)
+    lo = jnp.asarray(cores[0].action_low)
+    hi = jnp.asarray(cores[0].action_high)
+    for i in range(3):
+        ka, ks = jax.random.split(jax.random.PRNGKey(100 + i))
+        u = jax.random.uniform(ka, (L, cores[0].action_n), cores[0].spec.dtype)
+        a = u * (hi - lo) + lo
+        acts = jnp.stack([a, a])  # same actions for both variants
+        states, out = multi.step(states, acts, ks)
+        # ANM6Easy's vars are deterministic, so both nominal variants agree.
+        np.testing.assert_allclose(np.asarray(out.reward[0]), np.asarray(out.reward[1]), atol=0)
+        # And variant 0 matches the single env (deterministic vars make the
+        # step-key split irrelevant).
+        es_s, out_s = single.step(es_s, a, ks)
+        np.testing.assert_allclose(np.asarray(out.reward[0]), np.asarray(out_s.reward), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(out.obs[0]), np.asarray(out_s.obs), atol=1e-12)
+
+
+def test_randomized_fleet_variants_differ_and_rollout_runs():
+    L = 4
+    cores = randomized_anm6easy_cores(n_variants=3, seed=0, r_sigma=0.3, x_sigma=0.3)
+    multi = MultiBatchedEnv(cores, lanes_per_variant=L)
+    states, _ = multi.reset(jax.random.PRNGKey(0))
+
+    run = jax.jit(multi.rollout_fn(policy_fn=None, n_steps=8))
+    states, (rew, term) = run(states, jax.random.PRNGKey(1))
+    assert rew.shape == (8, 3, L)
+    assert term.shape == (8, 3, L)
+    assert np.isfinite(np.asarray(rew)).all()
+
+    # Same action sequence on different grids yields different physics.
+    states, first = multi.reset(jax.random.PRNGKey(5))
+    a = jnp.zeros((3, L, cores[0].action_n), cores[0].spec.dtype)
+    states, out = multi.step(states, a, jax.random.PRNGKey(6))
+    r = np.asarray(out.reward)
+    assert not np.allclose(r[1], r[2])
+
+
+def test_policy_rollout_over_fleet():
+    """A single policy function drives the whole heterogeneous fleet."""
+    L = 4
+    cores = randomized_anm6easy_cores(n_variants=2, seed=1)
+    multi = MultiBatchedEnv(cores, lanes_per_variant=L)
+    states, _ = multi.reset(jax.random.PRNGKey(0))
+
+    def zero_policy(args, obs, key):
+        assert obs.shape == (2, L, cores[0].obs_n)
+        return jnp.zeros((2, L, cores[0].action_n), cores[0].spec.dtype)
+
+    run = jax.jit(multi.rollout_fn(policy_fn=zero_policy, n_steps=4))
+    states, (obs, actions, rew, term) = run(states, jax.random.PRNGKey(2))
+    assert obs.shape == (4, 2, L, cores[0].obs_n)
+    assert actions.shape == (4, 2, L, cores[0].action_n)
+    assert np.isfinite(np.asarray(rew)).all()
