@@ -31,6 +31,7 @@ PAGES = [
     ("mpc", os.path.join(DOCS, "mpc.md"), "MPC baselines"),
     ("rendering", os.path.join(DOCS, "rendering.md"), "Rendering"),
     ("migration", os.path.join(DOCS, "migration.md"), "Migrating from gym-anm"),
+    ("about", os.path.join(DOCS, "about.md"), "About / installation / citing"),
     ("api", os.path.join(DOCS, "api.md"), "API reference"),
     ("quirks", os.path.join(DOCS, "quirks.md"), "Quirk ledger"),
 ]

@@ -154,3 +154,20 @@ def test_batched_mpc_matches_single_and_controls_batched_envs():
         assert not bool(np.asarray(out.terminated).any())
         assert float(np.asarray(out.reward).mean()) > -5
         acts = agent.act_batch(np.asarray(out.state_vec))
+
+
+def test_mpc_on_feeder33():
+    """The agent generalizes to other networks: on the 33-bus feeder the
+    DC-OPF stays feasible and keeps the grid alive (no collapse) for a
+    short controlled episode."""
+    from gym_anm_tpu.envs.feeder33 import Feeder33Env
+
+    env = Feeder33Env(seed=3)
+    env.reset(seed=3)
+    agent = MPCAgentConstant(env.simulator, env.action_space, env.gamma, planning_steps=2)
+    for t in range(5):
+        a = agent.act(env)
+        assert env.action_space.contains(a.astype(np.float64))
+        _check_solution(agent, check_optimal=(t == 0))
+        obs, r, terminated, _, _ = env.step(a)
+        assert not terminated
