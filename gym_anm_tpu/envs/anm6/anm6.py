@@ -29,7 +29,7 @@ class ANM6(ANMEnv):
             House  PV  Factory  Wind  EV   DES
     """
 
-    metadata = {"render_modes": ["human"]}
+    metadata = {"render_modes": ["human", "replay"]}
 
     def __init__(self, observation, K, delta_t, gamma, lamb, aux_bounds=None, costs_clipping=(None, None), seed=None):
         super().__init__(network, observation, K, delta_t, gamma, lamb, aux_bounds, costs_clipping, seed)
@@ -46,9 +46,13 @@ class ANM6(ANMEnv):
     def render(self, mode="human", skip_frames=0):
         """Render the current state of the network in the browser
         (anm6.py:46-111). ``skip_frames`` updates the visualization only
-        every ``skip_frames + 1`` calls."""
+        every ``skip_frames + 1`` calls.
+
+        ``mode="replay"`` records frames in memory instead of pushing them
+        to live servers; ``write_replay(path)`` then writes one standalone
+        HTML file with timeline controls (render/replay.py)."""
         if self.render_mode is None:
-            if mode not in ["human"]:
+            if mode not in ["human", "replay"]:
                 raise NotImplementedError()
 
             self.render_mode = mode
@@ -142,13 +146,28 @@ class ANM6(ANMEnv):
             "slackBus": int(inv[0]),  # internal order puts the slack bus first
         }
 
-        self.http_server, self.ws_server = rendering.start(
-            title, dev_type, ps, qs, branch_rate, bus_v_min, bus_v_max, soc_max, costs_range,
-            topology=topology,
-        )
+        if self.render_mode == "replay":
+            from ...render.replay import EpisodeRecorder
+
+            self.recorder = EpisodeRecorder(
+                title, dev_type, ps, qs, branch_rate, bus_v_min, bus_v_max, soc_max, costs_range,
+                topology=topology,
+            )
+        else:
+            self.http_server, self.ws_server = rendering.start(
+                title, dev_type, ps, qs, branch_rate, bus_v_min, bus_v_max, soc_max, costs_range,
+                topology=topology,
+            )
 
     def _update_render(self, dev_p, dev_q, branch_s, des_soc, gen_p_max, bus_v_magn, costs, network_collapsed):
         """Push one state frame to the visualization (anm6.py:189-227)."""
+        if self.render_mode == "replay":
+            self.recorder.frame(
+                self.date, self.year_count, dev_p, dev_q, branch_s, des_soc,
+                gen_p_max, bus_v_magn, costs, network_collapsed,
+            )
+            return
+
         from ...render import rendering
 
         rendering.update(
@@ -165,9 +184,17 @@ class ANM6(ANMEnv):
             network_collapsed,
         )
 
+    def write_replay(self, path):
+        """Write the recorded episode (``render(mode="replay")``) as one
+        standalone HTML file with timeline controls; returns the path."""
+        if getattr(self, "recorder", None) is None:
+            raise RuntimeError('no recorded frames: call render(mode="replay") while stepping first')
+        return self.recorder.write(path)
+
     def close(self):
-        """Terminate the rendering servers (anm6.py:229-239)."""
-        if self.is_rendering:
+        """Terminate the rendering servers (anm6.py:229-239); a replay
+        recording has no processes to stop (the recorder stays readable)."""
+        if self.is_rendering and self.render_mode != "replay":
             from ...render import rendering
 
             try:

@@ -71,6 +71,21 @@ def start(
             raise ConnectionError("Connection to HTTP server timeout.")
     webbrowser.open(http_server.address + "/")
 
+    payload = init_payload(
+        title, dev_type, p_max, q_max, s_rate, v_magn_min, v_magn_max, soc_max, costs_range, topology
+    )
+    message = json.dumps(payload, separators=(",", ":"))
+    ws.send(message)
+    ws.close()
+
+    return http_server, ws_server
+
+
+def init_payload(
+    title, dev_type, p_max, q_max, s_rate, v_magn_min, v_magn_max, soc_max, costs_range, topology=None
+):
+    """The ``init`` message dict (schema of rendering.py:88-105), shared by
+    the live WS path and the offline episode recorder (render/replay.py)."""
     payload = {
         "messageLabel": "init",
         "deviceType": list(map(int, dev_type)),
@@ -86,11 +101,24 @@ def start(
     }
     if topology is not None:
         payload["topology"] = topology
-    message = json.dumps(payload, separators=(",", ":"))
-    ws.send(message)
-    ws.close()
+    return payload
 
-    return http_server, ws_server
+
+def update_payload(cur_time, year_count, p, q, s, soc, p_potential, bus_v_magn, costs, network_collapsed):
+    """The ``update`` message dict (schema of rendering.py:145-159)."""
+    return {
+        "messageLabel": "update",
+        "time": [cur_time.month, cur_time.day, cur_time.hour, cur_time.minute],
+        "yearCount": int(year_count),
+        "pInjections": list(map(float, p)),
+        "qInjections": list(map(float, q)),
+        "sFlows": list(map(float, s)),
+        "socStorage": list(map(float, soc)),
+        "pPotential": list(map(float, p_potential)),
+        "vMagn": list(map(float, bus_v_magn)),
+        "reward": list(map(float, costs)),
+        "networkCollapsed": bool(network_collapsed),
+    }
 
 
 def update(ws_address, cur_time, year_count, p, q, s, soc, p_potential, bus_v_magn, costs, network_collapsed):
@@ -99,19 +127,7 @@ def update(ws_address, cur_time, year_count, p, q, s, soc, p_potential, bus_v_ma
 
     ws = create_connection(ws_address)
     message = json.dumps(
-        {
-            "messageLabel": "update",
-            "time": [cur_time.month, cur_time.day, cur_time.hour, cur_time.minute],
-            "yearCount": int(year_count),
-            "pInjections": list(map(float, p)),
-            "qInjections": list(map(float, q)),
-            "sFlows": list(map(float, s)),
-            "socStorage": list(map(float, soc)),
-            "pPotential": list(map(float, p_potential)),
-            "vMagn": list(map(float, bus_v_magn)),
-            "reward": list(map(float, costs)),
-            "networkCollapsed": bool(network_collapsed),
-        }
+        update_payload(cur_time, year_count, p, q, s, soc, p_potential, bus_v_magn, costs, network_collapsed)
     )
     ws.send(message)
     ws.close()

@@ -45,22 +45,65 @@ let dashPhase = 0;
 /* ------------------------------------------------------------------ */
 /* WebSocket plumbing                                                  */
 /* ------------------------------------------------------------------ */
+function handleMessage(msg) {
+  if (msg.messageLabel === "init") {
+    spec = msg;
+    document.getElementById("title").textContent = msg.title;
+    buildScene();
+  } else if (msg.messageLabel === "update" && spec !== null) {
+    frame = msg;
+    updateClock(msg);
+    updateReward(msg);
+    applyFrame(msg);
+  }
+}
+
 function connect() {
   const ws = new WebSocket(wsServerAddress);
-  ws.onmessage = (ev) => {
-    const msg = JSON.parse(ev.data);
-    if (msg.messageLabel === "init") {
-      spec = msg;
-      document.getElementById("title").textContent = msg.title;
-      buildScene();
-    } else if (msg.messageLabel === "update" && spec !== null) {
-      frame = msg;
-      updateClock(msg);
-      updateReward(msg);
-      applyFrame(msg);
-    }
-  };
+  ws.onmessage = (ev) => handleMessage(JSON.parse(ev.data));
   ws.onclose = () => setTimeout(connect, 1000);
+}
+
+/* Offline replay: a recorded episode is embedded as `REPLAY` ({init,
+ * frames}) in a standalone HTML file (render/replay.py) -- no servers, no
+ * WebSocket.  A timeline slider + play/pause drive handleMessage. */
+function setupReplay(data) {
+  handleMessage(data.init);
+  const n = data.frames.length;
+  const bar = document.createElement("div");
+  bar.id = "replay-bar";
+  bar.innerHTML =
+    '<button id="replay-play">&#9654;</button>' +
+    '<input id="replay-slider" type="range" min="0" max="' + Math.max(n - 1, 0) + '" value="0">' +
+    '<span id="replay-pos">1 / ' + n + "</span>";
+  document.body.appendChild(bar);
+  const slider = document.getElementById("replay-slider");
+  const pos = document.getElementById("replay-pos");
+  const play = document.getElementById("replay-play");
+  let timer = null;
+  function show(i) {
+    i = Math.max(0, Math.min(n - 1, i | 0));
+    slider.value = String(i);
+    pos.textContent = (i + 1) + " / " + n;
+    if (n > 0) handleMessage(data.frames[i]);
+  }
+  slider.addEventListener("input", () => {
+    stop();
+    show(Number(slider.value));
+  });
+  function stop() {
+    if (timer !== null) { clearInterval(timer); timer = null; play.innerHTML = "&#9654;"; }
+  }
+  play.addEventListener("click", () => {
+    if (timer !== null) { stop(); return; }
+    play.innerHTML = "&#10074;&#10074;";
+    timer = setInterval(() => {
+      const i = Number(slider.value);
+      if (i >= n - 1) { stop(); return; }
+      show(i + 1);
+    }, data.intervalMs || 500);
+  });
+  show(0);
 }
 
 function updateClock(msg) {
@@ -453,5 +496,9 @@ function tick() {
   requestAnimationFrame(tick);
 }
 
-connect();
+if (typeof REPLAY !== "undefined") {
+  setupReplay(REPLAY);
+} else {
+  connect();
+}
 requestAnimationFrame(tick);

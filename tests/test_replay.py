@@ -1,0 +1,54 @@
+"""Offline replay recording: frame capture and the standalone HTML artifact."""
+
+import json
+import re
+
+import numpy as np
+
+from gym_anm_tpu.envs.anm6.anm6_easy import ANM6Easy
+
+
+def test_replay_records_and_writes_standalone_html(tmp_path):
+    env = ANM6Easy()
+    env.reset(seed=0)
+    env.render(mode="replay")  # first call records the initial frame
+    for _ in range(4):
+        env.step(np.zeros(env.action_space.shape, dtype=np.float64))
+        env.render()
+    path = env.write_replay(str(tmp_path / "episode.html"))
+    env.close()
+
+    with open(path) as f:
+        html = f.read()
+
+    # Self-contained: no external script/style references, no WebSocket use.
+    assert "<script src=" not in html
+    assert 'rel="stylesheet"' not in html
+
+    m = re.search(r"var REPLAY = (\{.*?\});</script>", html, re.S)
+    assert m, "embedded replay data not found"
+    data = json.loads(m.group(1).replace("<\\/", "</"))
+    assert data["init"]["messageLabel"] == "init"
+    assert len(data["init"]["deviceType"]) == 7
+    assert "topology" in data["init"]
+    assert len(data["frames"]) == 5  # initial frame + 4 steps
+    for fr in data["frames"]:
+        assert fr["messageLabel"] == "update"
+        assert len(fr["pInjections"]) == 7
+        assert len(fr["vMagn"]) == 6
+        assert not fr["networkCollapsed"]
+
+    # The client dispatches into replay mode when REPLAY is defined.
+    assert "setupReplay(REPLAY)" in html
+
+
+def test_replay_requires_recording():
+    env = ANM6Easy()
+    env.reset(seed=0)
+    try:
+        env.write_replay("/tmp/should_not_exist.html")
+        assert False, "expected RuntimeError"
+    except RuntimeError:
+        pass
+    finally:
+        env.close()
