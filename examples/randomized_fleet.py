@@ -25,5 +25,18 @@ def run(n_variants=4, lanes=256, steps=32):
         print(f"{tag}: mean reward {rew[:, g].mean():+.3f}")
 
 
+def train_robust(n_variants=4, lanes=64, iterations=10):
+    """Train one PPO policy against the whole fleet (robust to grid
+    parameters)."""
+    from gym_anm_tpu.envs import ppo_trainer_for_fleet
+    from gym_anm_tpu.rl import PPOConfig
+
+    cores = randomized_anm6easy_cores(n_variants, seed=0, r_sigma=0.2, x_sigma=0.2)
+    trainer = ppo_trainer_for_fleet(cores, lanes, config=PPOConfig(rollout_steps=32))
+    for i, m in enumerate(trainer.train(iterations, key=jax.random.PRNGKey(0))):
+        print(f"iter {i}: loss={m['loss']:.3f} mean_reward={m['mean_reward']:.3f}")
+
+
 if __name__ == "__main__":
     run()
+    train_robust()

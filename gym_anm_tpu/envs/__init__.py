@@ -2,7 +2,12 @@ from .anm_env import ANMEnv
 from .anm6.anm6 import ANM6
 from .anm6.anm6_easy import ANM6Easy
 from .batched import BatchedEnv
-from .randomized import MultiBatchedEnv, perturb_branches, randomized_anm6easy_cores
+from .randomized import (
+    MultiBatchedEnv,
+    perturb_branches,
+    ppo_trainer_for_fleet,
+    randomized_anm6easy_cores,
+)
 from .vector import ANMVectorEnv
 
 __all__ = [

@@ -165,6 +165,23 @@ class MultiBatchedEnv:
     def step(self, states, actions, key):
         return self._step(states, actions, key)
 
+    def flat_reset(self, key):
+        """:meth:`reset` with outputs flattened to one ``[G * L, ...]`` batch
+        (states stay a G-tuple pytree — the carry shape trainers thread
+        through unchanged)."""
+        states, out = self._reset(key)
+        return states, BatchedStep(*(x.reshape((self.G * self.L,) + x.shape[2:]) for x in out))
+
+    def flat_step_fn(self, states, actions, key):
+        """Jittable step taking/returning flat ``[G * L, ...]`` arrays --
+        the :class:`BatchedEnv`-shaped surface trainers expect."""
+        states, out = self._step_fn(states, actions.reshape(self.G, self.L, -1), key)
+        return states, BatchedStep(*(x.reshape((self.G * self.L,) + x.shape[2:]) for x in out))
+
+    def flat_observation(self, states):
+        """Per-variant observations concatenated to ``[G * L, obs_n]``."""
+        return jnp.concatenate([self.cores[g].observation(states[g]) for g in range(self.G)])
+
     def rollout_fn(self, policy_fn: Optional[Callable] = None, n_steps: int = 1):
         """Jittable multi-variant rollout ``run(states, key, policy_args)``.
 
@@ -204,3 +221,54 @@ class MultiBatchedEnv:
             return states, traj
 
         return run
+
+
+class _FleetCoreFacade:
+    """The slice of the :class:`EnvCore` surface a trainer reads, over a
+    fleet: shared bounds/dtype from variant 0 (variants share device
+    layout), flat observations across all variants, and the lean-carry fast
+    path disabled (the carry is the G-tuple of per-variant states)."""
+
+    def __init__(self, multi: "MultiBatchedEnv"):
+        c0 = multi.cores[0]
+        self.spec = c0.spec
+        self.action_low = c0.action_low
+        self.action_high = c0.action_high
+        self.action_n = c0.action_n
+        self.obs_gather = c0.obs_gather
+        self.obs_from_state_vec = False
+        self._multi = multi
+
+    def observation(self, states):
+        return self._multi.flat_observation(states)
+
+
+class _FleetEnvFacade:
+    """The env surface a trainer drives (``reset`` / ``step_fn`` over flat
+    ``[G * L, ...]`` batches)."""
+
+    def __init__(self, multi: "MultiBatchedEnv"):
+        self._multi = multi
+
+    def reset(self, key):
+        return self._multi.flat_reset(key)
+
+    def step_fn(self, states, actions, key):
+        return self._multi.flat_step_fn(states, actions, key)
+
+
+def ppo_trainer_for_fleet(cores: Sequence[EnvCore], lanes_per_variant: int, config=None, seed: int = 0):
+    """Build a :class:`~gym_anm_tpu.rl.ppo.PPOTrainer` whose rollouts step a
+    domain-randomized fleet: one policy trained against G grid variants at
+    once (batch = G * lanes_per_variant).  Terminated lanes auto-reset to
+    keep the fleet lockstep."""
+    from ..rl.ppo import PPOTrainer
+
+    multi = MultiBatchedEnv(cores, lanes_per_variant, auto_reset=True)
+    return PPOTrainer(
+        _FleetCoreFacade(multi),
+        batch_size=multi.G * multi.L,
+        config=config,
+        seed=seed,
+        env=_FleetEnvFacade(multi),
+    )

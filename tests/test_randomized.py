@@ -106,3 +106,19 @@ def test_policy_rollout_over_fleet():
     assert obs.shape == (4, 2, L, cores[0].obs_n)
     assert actions.shape == (4, 2, L, cores[0].action_n)
     assert np.isfinite(np.asarray(rew)).all()
+
+
+def test_fleet_ppo_trains():
+    """One PPO policy trains against the whole heterogeneous fleet (the
+    domain-randomization setup): mechanics + finite losses on a tiny run."""
+    from gym_anm_tpu.envs.randomized import ppo_trainer_for_fleet
+    from gym_anm_tpu.rl import PPOConfig
+
+    cores = randomized_anm6easy_cores(n_variants=2, seed=0, r_sigma=0.2, x_sigma=0.2)
+    cfg = PPOConfig(rollout_steps=8, minibatches=2, epochs=1, hidden=(32, 32))
+    trainer = ppo_trainer_for_fleet(cores, lanes_per_variant=8, config=cfg, seed=0)
+    history = trainer.train(iterations=2, key=jax.random.PRNGKey(0))
+    assert len(history) == 2
+    for m in history:
+        assert np.isfinite(m["loss"]) and np.isfinite(m["mean_reward"])
+        assert 0.0 <= m["terminated_frac"] <= 1.0
