@@ -29,7 +29,10 @@ def run(batch_size=16, horizon=3, steps=10):
 
     state_vecs = np.asarray(out.state_vec)
     for t in range(steps):
-        actions = agent.act_batch(state_vecs)
+        # warm_start: each solve resumes from the previous step's ADMM
+        # iterate (receding-horizon warm start) -- same actions to solver
+        # tolerance, a fraction of the cold-start iteration budget.
+        actions = agent.act_batch(state_vecs, warm_start=True)
         es, out = env.step(es, actions, jax.random.fold_in(key, t))
         r = np.asarray(out.reward)
         term = np.asarray(out.terminated)

@@ -21,12 +21,15 @@ class MPCAgentConstant(MPCAgent):
         P_gen_forecast = np.array([P_gen_forecast for _ in range(self.planning_steps)]).T
         return P_load_forecast, P_gen_forecast
 
-    def act_batch(self, state_vecs):
+    def act_batch(self, state_vecs, warm_start=False):
         """Batched policy over B environment lanes.
 
         ``state_vecs [B, state_n]`` are canonical state vectors (as returned
         by the batched env: [dev_p (MW), dev_q (MVAr), des_soc (MWh),
         gen_p_max (MW), aux]); returns actions [B, action_n].
+
+        ``warm_start=True`` reuses the previous call's ADMM iterate
+        (receding-horizon warm start, see ``MPCAgent.solve_batch``).
         """
         sv = np.asarray(state_vecs, dtype=float)
         spec = self.spec
@@ -39,4 +42,4 @@ class MPCAgentConstant(MPCAgent):
         N = self.planning_steps
         load_f = np.repeat(loads[:, :, None], N, axis=2)
         gen_f = np.repeat(p_pot[:, :, None], N, axis=2)
-        return self.solve_batch(load_f, gen_f, socs)
+        return self.solve_batch(load_f, gen_f, socs, warm_start=warm_start)

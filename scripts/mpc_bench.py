@@ -32,9 +32,16 @@ def main():
     ap.add_argument("--horizon", type=int, nargs="+", default=[1, 3, 10])
     ap.add_argument("--iters", type=int, default=5, help="timed act_batch calls")
     ap.add_argument("--env-steps", type=int, default=8, help="random env steps before the bench state")
+    ap.add_argument(
+        "--warm",
+        action="store_true",
+        help="receding-horizon mode: step the fleet with the MPC action between "
+        "timed solves and warm-start each solve from the previous ADMM iterate",
+    )
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     import gym_anm_tpu  # noqa: F401  (registers envs)
     from gym_anm_tpu.agents import MPCAgentConstant
@@ -58,14 +65,26 @@ def main():
                 host_env.simulator, host_env.action_space, host_env.gamma, planning_steps=N
             )
             t0 = time.time()
-            acts = agent.act_batch(state_vecs)  # compile + first solve
+            acts = agent.act_batch(state_vecs, warm_start=args.warm)  # compile + cold solve
             compile_s = time.time() - t0
 
             times = []
-            for _ in range(args.iters):
-                t0 = time.time()
-                acts = agent.act_batch(state_vecs)
-                times.append(time.time() - t0)
+            if args.warm:
+                # Receding horizon: advance the fleet under the MPC policy and
+                # warm-start each solve from the previous iterate (the actual
+                # operating mode of an MPC fleet).
+                es_run = es
+                for t in range(args.iters):
+                    es_run, out = env.step(es_run, jnp.asarray(acts), jax.random.fold_in(k_run, t))
+                    sv = np.asarray(out.state_vec)
+                    t0 = time.time()
+                    acts = agent.act_batch(sv, warm_start=True)
+                    times.append(time.time() - t0)
+            else:
+                for _ in range(args.iters):
+                    t0 = time.time()
+                    acts = agent.act_batch(state_vecs)
+                    times.append(time.time() - t0)
             med = statistics.median(times)
 
             print(
@@ -77,6 +96,7 @@ def main():
                         "detail": {
                             "batch": B,
                             "horizon": N,
+                            "warm_start": bool(args.warm),
                             "median_s_per_batch": round(med, 4),
                             "first_call_s": round(compile_s, 2),
                             "backend": jax.default_backend(),

@@ -156,6 +156,46 @@ def test_batched_mpc_matches_single_and_controls_batched_envs():
         acts = agent.act_batch(np.asarray(out.state_vec))
 
 
+def test_batched_mpc_warm_start_matches_cold():
+    """Receding-horizon warm starting (``act_batch(..., warm_start=True)``)
+    reuses the previous solve's ADMM iterate and must return the same
+    actions as independent cold-start solves to solver tolerance, across a
+    real controlled episode (including the automatic full-budget fallback
+    when the warm residual check fails)."""
+    import jax
+
+    from gym_anm_tpu.envs.anm6.anm6_easy import make_core
+    from gym_anm_tpu.envs.batched import BatchedEnv
+
+    core = make_core(pf_max_iter=100)
+    B = 4
+    env = BatchedEnv(core, batch_size=B)
+    key = jax.random.PRNGKey(0)
+    es, first = env.reset(key)
+
+    host_env = gym_anm_tpu.envs.ANM6Easy()
+    host_env.reset(seed=0)
+    warm_agent = MPCAgentConstant(host_env.simulator, host_env.action_space, 0.995, planning_steps=3)
+    cold_agent = MPCAgentConstant(host_env.simulator, host_env.action_space, 0.995, planning_steps=3)
+
+    sv = np.asarray(first.state_vec)
+    acts = cold_agent.act_batch(sv)
+    np.testing.assert_allclose(warm_agent.act_batch(sv, warm_start=True), acts, atol=1e-6)
+    assert warm_agent._warm_carry is not None
+    for t in range(3):
+        es, out = env.step(es, acts, jax.random.fold_in(key, t))
+        assert not bool(np.asarray(out.terminated).any())
+        sv = np.asarray(out.state_vec)
+        acts = cold_agent.act_batch(sv)
+        warm = warm_agent.act_batch(sv, warm_start=True)
+        np.testing.assert_allclose(warm, acts, atol=2e-2)
+
+    # A batch-size change invalidates the carry instead of crashing.
+    sv2 = np.repeat(sv, 2, axis=0)
+    acts2 = warm_agent.act_batch(sv2, warm_start=True)
+    assert acts2.shape[0] == 2 * B
+
+
 def test_mpc_on_feeder33():
     """The agent generalizes to other networks: on the 33-bus feeder the
     DC-OPF stays feasible and keeps the grid alive (no collapse) for a
