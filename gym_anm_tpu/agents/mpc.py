@@ -491,7 +491,18 @@ class MPCAgent:
             # [B]-shaped transfer, then reduce on host (the axon TPU runtime
             # does not implement 0-d device->host transfers).
             worst = float(np.max(np.asarray(jnp.maximum(pri, dual))))
-            if not np.isfinite(worst) or worst > self._warm_tol:
+            if not np.isfinite(worst):
+                # A non-finite iterate poisons ADMM permanently (NaN
+                # propagates through every subsequent matvec), so resuming
+                # from it can never recover: restart the full budget from
+                # the cold-start iterate with a fresh rho schedule.
+                x0 = jnp.zeros((Bsz, n), ls.dtype)
+                z0 = jnp.clip(jnp.zeros((Bsz, m), ls.dtype), ls, us)
+                y0 = jnp.zeros((Bsz, m), ls.dtype)
+                x, z, y, rho, pri, dual = self._admm_batch_full(
+                    ls, us, x0, z0, y0, rho0, max_chunks, chunk_len, eps
+                )
+            elif worst > self._warm_tol:
                 x, z, y, rho, pri, dual = self._admm_batch_full(
                     ls, us, x, z, y, rho, max_chunks, chunk_len, eps
                 )
@@ -501,9 +512,12 @@ class MPCAgent:
     def _warm_tol(self):
         """Residual acceptance threshold for warm-started batched solves, in
         the scaled space.  f32 (TPU) cannot reach the f64 residual floor, so
-        the bar is dtype-aware; calibrated so accepted warm solutions match
-        cold-start actions to ~1e-4 MW (tests/test_mpc.py)."""
-        return 5e-5 if jnp.zeros(()).dtype == jnp.float64 else 5e-4
+        the bar is dtype-aware (checked host-side -- no eager device op);
+        calibrated in tests/test_mpc.py (warm actions match cold solves to
+        the tested 2e-2 MW after real receding-horizon steps; the DC-OPF is
+        degenerate, so different optimal vertices can differ more than the
+        residual tolerance suggests)."""
+        return 5e-5 if jax.config.jax_enable_x64 else 5e-4
 
     def solve_batch(self, load_forecasts, gen_forecasts, init_socs, warm_start=False):
         """Solve the N-stage DC-OPF for a batch of B environment lanes.

@@ -331,7 +331,14 @@ class EnvCore:
     # ------------------------------------------------------------------
     def env_state_from_s0(self, s0) -> EnvState:
         """Apply one initial-state vector (no retry loop); supports a
-        leading batch axis."""
+        leading batch axis.
+
+        A lane whose load flow diverges on s0 comes back **terminated** with
+        the absorbing zero state (the reference raises after its retry
+        budget, anm_env.py:284-289; here divergence is data, so a failed
+        reset can never enter a rollout as a live lane with inf/NaN sim
+        state -- it is absorbed exactly like an in-episode grid collapse).
+        """
         spec = self.spec
         s0 = jnp.asarray(s0, dtype=spec.dtype)
         if s0.shape[-1] != self.expected_s0_n:
@@ -343,7 +350,9 @@ class EnvCore:
             )
         sim = sim_reset(spec, s0, x_tol=self.x_tol, max_iter=self.max_iter, pf_method=self.pf_method, chord_iters=self.chord_iters)
         aux = s0[..., 2 * spec.n_dev + spec.n_des + spec.n_gen :]
-        terminated = jnp.zeros(s0.shape[:-1], dtype=bool)
+        terminated = ~sim.pfe_converged
+        sim = _select(terminated, zeros_state(spec), sim)
+        aux = jnp.where(_bmask(terminated, aux), jnp.zeros_like(aux), aux)
         return EnvState(
             sim=sim,
             aux=aux,
@@ -370,7 +379,7 @@ class EnvCore:
         tries = None
         for i in range(attempts):
             es_i = self.env_state_from_s0(init_one(keys[i]))
-            ok_i = es_i.sim.pfe_converged
+            ok_i = ~es_i.terminated
             if es is None:
                 es, ok = es_i, ok_i
                 tries = jnp.ones(jnp.shape(ok), dtype=jnp.int32)

@@ -104,12 +104,34 @@ class BatchedEnv:
         )
 
     # ------------------------------------------------------------------
-    def reset(self, key) -> tuple[EnvState, BatchedStep]:
+    def reset(self, key, strict: bool = False) -> tuple[EnvState, BatchedStep]:
+        """Reset all lanes.
+
+        A lane whose ``init_state_fn`` samples fail to converge for every
+        rejection-sampling round comes back **terminated** (absorbing zero
+        state, reported in ``BatchedStep.terminated``) instead of silently
+        entering the rollout with a diverged sim state.  With
+        ``strict=True`` an exhausted lane raises
+        :class:`~gym_anm_tpu.errors.EnvInitializationError` instead -- the
+        reference's behavior after its 100-attempt budget
+        (anm_env.py:284-289); this costs one host sync per reset.
+        """
         es, out = self._reset(key)
+        if strict:
+            import numpy as np
+
+            n_failed = int(np.asarray(out.failed).sum())
+            if n_failed:
+                from ..errors import EnvInitializationError
+
+                raise EnvInitializationError(
+                    "No non-terminal state found out of %d initial states for %d/%d lanes"
+                    % (self.reset_attempts, n_failed, self.batch_size)
+                )
         return es, BatchedStep(
             obs=out.obs,
             reward=jnp.zeros((self.batch_size,), dtype=self.core.spec.dtype),
-            terminated=jnp.zeros((self.batch_size,), dtype=bool),
+            terminated=out.failed,
             state_vec=out.state_vec,
         )
 

@@ -125,8 +125,12 @@ class ANMVectorEnv(VectorEnv):
         self._key, k = jax.random.split(self._key)
         es, out = self._jit_reset(k)
         self._es = es
-        self._needs_reset = jnp.zeros((self.num_envs,), dtype=bool)
-        return np.asarray(out.obs), {}
+        # A lane that exhausted the rejection-sampling budget is terminated
+        # (absorbing zero state/obs) and flagged for autoreset: it retries a
+        # fresh initial state on the next step instead of entering the
+        # rollout with a diverged sim state.
+        self._needs_reset = out.failed
+        return np.asarray(out.obs), {"reset_failed": np.asarray(out.failed)}
 
     def step(self, actions):
         if self._es is None:

@@ -1,0 +1,153 @@
+"""Failed-reset surfacing.
+
+The reference raises ``EnvInitializationError`` when 100 sampled initial
+states all diverge (anm_env.py:284-289).  The batched path cannot raise per
+lane, so an exhausted lane must come back *terminated* (absorbing zero
+state) -- never as a live lane holding a diverged (inf/NaN) sim state.
+
+The failing task is a 2-bus network whose load bounds admit far more power
+than the single line can transfer, so ``init_state_fn`` can sample initial
+states on which Newton-Raphson genuinely diverges.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gym_anm_tpu.core.env_core import EnvCore
+from gym_anm_tpu.core.grid import build_grid
+from gym_anm_tpu.core.obs import state_values_spec
+from gym_anm_tpu.envs.batched import BatchedEnv
+from gym_anm_tpu.errors import EnvInitializationError
+
+
+def _weak_grid_core(fail_prob=1.0):
+    """2-bus EnvCore whose initial loads diverge with probability
+    ``fail_prob`` (a -3000 MW draw across a 0.1 p.u. line cannot be served;
+    ~ -20 MW always converges)."""
+    net = {
+        "baseMVA": 100,
+        "bus": np.array([[0, 0, 132, 1.0, 1.0], [1, 1, 33, 1.1, 0.9]]),
+        "device": np.array(
+            [
+                [0, 0, 0, None, 200, -200, 200, -200] + [None] * 7,
+                [1, 1, -1, 0.2, 0, -5000] + [None] * 9,
+            ],
+            dtype=object,
+        ),
+        "branch": np.array([[0, 1, 0.01, 0.1, 0.0, 30, 1, 0]]),
+    }
+    spec, _ = build_grid(net, delta_t=0.25, lamb=100)
+    K = 0
+
+    def init_fn(key):
+        k_sel, _ = jax.random.split(key)
+        bad = jax.random.uniform(k_sel, ()) < fail_prob
+        p_load = jnp.where(bad, -3000.0, -20.0)  # MW
+        s0 = jnp.zeros((2 * spec.n_dev + spec.n_des + spec.n_gen + K,), spec.dtype)
+        s0 = s0.at[1].set(p_load)
+        s0 = s0.at[spec.n_dev + 1].set(p_load * 0.2)
+        return s0
+
+    def next_vars_fn(s, key):
+        return jnp.asarray([-20.0], dtype=spec.dtype)  # [P_load]; no gens, K=0
+
+    return EnvCore(
+        spec,
+        K=K,
+        gamma=0.995,
+        costs_clipping=(1, 100),
+        obs_values=state_values_spec(spec, K),
+        init_state_fn=init_fn,
+        next_vars_fn=next_vars_fn,
+        max_iter=10,
+        pf_method="scan",
+        stochastic_vars=False,
+    )
+
+
+def test_core_reset_marks_exhausted_lanes_terminated():
+    core = _weak_grid_core(1.0)
+    es, out = core.reset(jax.random.PRNGKey(0), batch_shape=(8,), attempts=3)
+    assert bool(np.all(np.asarray(out.failed)))
+    assert bool(np.all(np.asarray(es.terminated)))
+    # Absorbing zero state: nothing diverged leaks into the rollout.
+    assert np.all(np.asarray(out.state_vec) == 0.0)
+    assert np.all(np.isfinite(np.asarray(out.obs)))
+    assert np.all(np.asarray(out.obs) == 0.0)
+
+
+def test_env_state_from_s0_absorbs_diverged_lanes():
+    core = _weak_grid_core(1.0)
+    s0_bad = core.init_state_fn(jax.random.PRNGKey(0))
+    s0_good = _weak_grid_core(0.0).init_state_fn(jax.random.PRNGKey(1))
+    es = core.env_state_from_s0(jnp.stack([s0_bad, s0_good]))
+    term = np.asarray(es.terminated)
+    assert term[0] and not term[1]
+    sv = np.asarray(es.state_vec)
+    assert np.all(sv[0] == 0.0)
+    assert np.all(np.isfinite(sv))
+    # Diverged sim fields are masked to the absorbing zero state.
+    assert np.all(np.asarray(es.sim.bus_v_re)[0] == 0.0)
+
+
+def test_batched_reset_reports_failed_lanes_and_strict_raises():
+    env = BatchedEnv(_weak_grid_core(1.0), batch_size=4, reset_attempts=2)
+    es, first = env.reset(jax.random.PRNGKey(0))
+    assert bool(np.all(np.asarray(first.terminated)))
+    assert np.all(np.asarray(first.state_vec) == 0.0)
+    with pytest.raises(EnvInitializationError):
+        env.reset(jax.random.PRNGKey(0), strict=True)
+
+    # Stepping a failed batch is a masked no-op: reward 0, still terminated.
+    actions = jnp.zeros((4, env.core.action_n), env.core.spec.dtype)
+    es, out = env.step(es, actions, jax.random.PRNGKey(1))
+    assert np.all(np.asarray(out.reward) == 0.0)
+    assert bool(np.all(np.asarray(out.terminated)))
+    assert np.all(np.isfinite(np.asarray(out.state_vec)))
+
+
+def test_mixed_batch_flags_only_failing_lanes():
+    core = _weak_grid_core(0.5)
+    es, out = core.reset(jax.random.PRNGKey(42), batch_shape=(64,), attempts=1)
+    failed = np.asarray(out.failed)
+    assert 0 < failed.sum() < 64  # the mixture actually mixes
+    sv = np.asarray(out.state_vec)
+    assert np.all(sv[failed] == 0.0)
+    assert np.all(np.isfinite(sv))
+    assert np.all(np.asarray(es.terminated) == failed)
+    # Healthy lanes carry a real (non-zero) state.
+    assert np.any(sv[~failed] != 0.0)
+
+
+def test_retry_rescues_lanes_with_enough_attempts():
+    core = _weak_grid_core(0.5)
+    es, out = core.reset(jax.random.PRNGKey(3), batch_shape=(32,), attempts=12)
+    # P(all 12 attempts fail) = 0.5^12 per lane: every lane converges.
+    assert not np.any(np.asarray(out.failed))
+    assert not np.any(np.asarray(es.terminated))
+
+
+def test_healthy_reset_unaffected():
+    from gym_anm_tpu.envs.anm6.anm6_easy import make_core
+
+    core = make_core(pf_method="scan")
+    es, out = core.reset(jax.random.PRNGKey(7), batch_shape=(16,), attempts=10)
+    assert not np.any(np.asarray(out.failed))
+    assert not np.any(np.asarray(es.terminated))
+
+
+def test_vector_env_reset_failed_info():
+    from gym_anm_tpu.envs.vector import ANMVectorEnv
+
+    env = ANMVectorEnv(_weak_grid_core(1.0), num_envs=4, seed=0, reset_attempts=2)
+    obs, info = env.reset(seed=0)
+    assert np.all(info["reset_failed"])
+    assert np.all(obs == 0.0)
+    # The failed lanes are flagged for autoreset: the next step retries a
+    # fresh initial state instead of stepping a diverged one.
+    actions = np.zeros((4, env.single_action_space.shape[0]), dtype=np.float64)
+    obs, reward, terminated, truncated, _ = env.step(actions)
+    assert np.all(reward == 0.0)
+    assert np.all(np.isfinite(obs))
