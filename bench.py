@@ -39,7 +39,23 @@ def main():
     )
     ap.add_argument("--env", default="anm6easy", choices=["anm6easy", "feeder33", "feeder141"])
     ap.add_argument("--tail", type=int, default=None, help="NR iteration budget (tail for --pf hybrid)")
+    check_group = ap.add_mutually_exclusive_group()
+    check_group.add_argument(
+        "--check",
+        action="store_true",
+        dest="check",
+        default=None,
+        help="run the on-chip trajectory-parity check (committed host-f64 "
+        "references replayed through each solver path; gym_anm_tpu/check.py)",
+    )
+    check_group.add_argument(
+        "--no-check", action="store_false", dest="check", help="skip the parity check"
+    )
     args = ap.parse_args()
+    if args.check is None:
+        # Default: check the cheap-to-compile env only (the feeder variants
+        # cost minutes of tunnel compile per solver path).
+        args.check = args.env == "anm6easy"
 
     from gym_anm_tpu.envs.batched import BatchedEnv
 
@@ -76,6 +92,18 @@ def main():
     es_w, (rew, term) = run(es, k_run)
     jax.block_until_ready(rew)
     compile_s = time.time() - t0
+
+    # FLOP accounting from XLA's cost analysis of the compiled program
+    # (algorithmic flops; unavailable on some PJRT runtimes -> null).
+    flops_per_program = None
+    try:
+        ca = run.lower(es, k_run).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca and "flops" in ca:
+            flops_per_program = float(ca["flops"])
+    except Exception:
+        pass
 
     if args.profile:
         jax.profiler.start_trace("/tmp/anm_bench_trace")
@@ -125,33 +153,59 @@ def main():
         iters_per_step = core.chord_iters + core.max_iter
     else:
         iters_per_step = core.max_iter
+    detail = {
+        "batch": args.batch,
+        "scan_steps": args.steps,
+        "iters": args.iters,
+        "elapsed_s": round(elapsed, 3),
+        "blocking_steps_per_s": round(sps_blocking, 1),
+        "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+        "mean_reward": float(rew_h.mean()),
+        "terminated_frac": float(term_h.mean()),
+        "nr_iterations_per_s": round(sps * iters_per_step, 1),
+        "nr_iters_per_step": iters_per_step,
+    }
+    if flops_per_program is not None:
+        # Achieved model FLOP/s over the pipelined steady state, and MFU
+        # against the chip's bf16 peak (v5e: 197 TFLOP/s; f32-by-passes
+        # runs at a fraction of this, so MFU here is a conservative
+        # hardware-utilization bound, mainly useful to catch regressions
+        # in arithmetic intensity).
+        achieved = flops_per_program * args.iters / elapsed
+        detail["flops_per_env_step"] = round(flops_per_program / (args.batch * args.steps), 1)
+        detail["achieved_tflops"] = round(achieved / 1e12, 3)
+        detail["mfu_vs_bf16_peak"] = round(achieved / 1.97e14, 5)
+        if args.pf in ("pallas", "fused", "fused_hybrid"):
+            # Custom-call kernels are opaque to XLA cost analysis: these
+            # fields count only the ops *outside* the Pallas NR kernel.
+            # They are meaningful for --pf scan/hybrid (pure XLA paths,
+            # e.g. the feeder141 chord solver, where the MXU matmuls ARE
+            # the program).
+            detail["flops_note"] = "XLA-visible ops only; Pallas kernel flops not counted"
+
+    if args.check:
+        # On-chip trajectory parity: replay the committed host-f64 fixed
+        # (s0, actions, vars) trajectory through every solver path for this
+        # env and compare states/rewards/termination step by step
+        # (gym_anm_tpu/check.py).  The committed references are calibrated
+        # so terminated_frac lands in [0.2, 0.8] (0.30 anm6easy / 0.52
+        # feeder33) -- unlike the saturated throughput-loop signal above.
+        from gym_anm_tpu import check as parity_check
+
+        parity = parity_check.run_check(args.env, make_core)
+        detail["parity"] = parity
+
     result = {
         "metric": "env-steps/s/chip",
         "value": round(sps, 1),
         "unit": "steps/s",
         "vs_baseline": round(sps / 1e6, 4),
     }
+    if args.check:
+        result["parity_pass"] = detail["parity"]["pass"]
     print(json.dumps(result))
-    print(
-        json.dumps(
-            {
-                "detail": {
-                    "batch": args.batch,
-                    "scan_steps": args.steps,
-                    "iters": args.iters,
-                    "elapsed_s": round(elapsed, 3),
-                    "blocking_steps_per_s": round(sps_blocking, 1),
-                    "compile_s": round(compile_s, 1),
-                    "backend": jax.default_backend(),
-                    "mean_reward": float(rew_h.mean()),
-                    "terminated_frac": float(term_h.mean()),
-                    "nr_iterations_per_s": round(sps * iters_per_step, 1),
-                    "nr_iters_per_step": iters_per_step,
-                }
-            }
-        ),
-        file=sys.stderr,
-    )
+    print(json.dumps({"detail": detail}), file=sys.stderr)
 
 
 if __name__ == "__main__":

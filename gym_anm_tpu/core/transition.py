@@ -34,6 +34,7 @@ import dataclasses
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops.power_flow import cmul, solve_pfe
@@ -278,8 +279,14 @@ def transition(
     )
 
     # Bus aggregation as a static incidence matmul (simulator.py:539-549).
-    bus_p = jnp.einsum("nd,...d->...n", spec.inc_bus_dev, dev_p)
-    bus_q = jnp.einsum("nd,...d->...n", spec.inc_bus_dev, dev_q)
+    # precision: TPU default matmul precision truncates inputs to bf16
+    # (~0.4% relative); the NR iteration is self-correcting under that, but
+    # these one-shot aggregations/gathers are not -- they feed rewards,
+    # bounds checks and observations directly (caught by bench.py --check:
+    # max_state_div 1.1e-2 -> 3e-5 at HIGHEST, at no measurable cost).
+    _HI = jax.lax.Precision.HIGHEST
+    bus_p = jnp.einsum("nd,...d->...n", spec.inc_bus_dev, dev_p, precision=_HI)
+    bus_q = jnp.einsum("nd,...d->...n", spec.inc_bus_dev, dev_q, precision=_HI)
 
     # Newton-Raphson load flow; slack bus is internal index 0.  The fused
     # Pallas kernel handles aligned f32 batches on TPU; everything else
@@ -325,8 +332,13 @@ def transition(
     # Nodal currents I = Y V and slack power (solve_load_flow.py:54-72;
     # NaN slack power becomes +inf).  V_slack = 1 + 0j, so
     # S_slack = conj(I_0).
-    i_re = jnp.einsum("nk,...k->...n", spec.Y_re, v_re) - jnp.einsum("nk,...k->...n", spec.Y_im, v_im)
-    i_im = jnp.einsum("nk,...k->...n", spec.Y_re, v_im) + jnp.einsum("nk,...k->...n", spec.Y_im, v_re)
+    _HI = jax.lax.Precision.HIGHEST
+    i_re = jnp.einsum("nk,...k->...n", spec.Y_re, v_re, precision=_HI) - jnp.einsum(
+        "nk,...k->...n", spec.Y_im, v_im, precision=_HI
+    )
+    i_im = jnp.einsum("nk,...k->...n", spec.Y_re, v_im, precision=_HI) + jnp.einsum(
+        "nk,...k->...n", spec.Y_im, v_re, precision=_HI
+    )
     p0 = jnp.where(jnp.isnan(i_re[..., 0]), jnp.inf, i_re[..., 0])
     q0 = jnp.where(jnp.isnan(i_im[..., 0]), jnp.inf, -i_im[..., 0])
     # Masked writes instead of scatters (static one-hot masks).

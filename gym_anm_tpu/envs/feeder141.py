@@ -148,7 +148,7 @@ class Feeder141Env(Feeder33Env):
         super().__init__(seed=seed, network=_NETWORK)
 
 
-def make_core(dtype=None, pf_max_iter=None, pf_method="hybrid", chord_iters=28):
+def make_core(dtype=None, pf_max_iter=None, pf_method="hybrid", chord_iters=28, x_tol=None):
     """Pure-functional EnvCore for the 141-bus network.
 
     Default solver: **chord-only** (``pf_method="hybrid"`` with a zero
@@ -176,6 +176,20 @@ def make_core(dtype=None, pf_max_iter=None, pf_method="hybrid", chord_iters=28):
         )
     if pf_max_iter is None:
         pf_max_iter = 0 if pf_method == "hybrid" else 6
+    if x_tol is None:
+        # The chord iteration plateaus just above the reference's 1e-5 on
+        # marginal (full-load) lanes in float32 -- TPU rounding then flags
+        # a handful of solvable lanes as collapsed (caught by the on-chip
+        # parity check, BENCH_r02).  3e-5 p.u. mismatch (3 kVA on the 100
+        # MVA base) sits above that plateau and below any physically
+        # meaningful violation; float64 keeps the reference tolerance.
+        import jax
+        import jax.numpy as _jnp
+
+        # Host-side dtype resolution (no eager device op).
+        f32 = (dtype == _jnp.float32) if dtype is not None else not jax.config.jax_enable_x64
+        x_tol = 3e-5 if (pf_method == "hybrid" and pf_max_iter == 0 and f32) else 1e-5
     return _feeder_make_core(
-        dtype=dtype, pf_max_iter=pf_max_iter, pf_method=pf_method, network=_NETWORK, chord_iters=chord_iters
+        dtype=dtype, pf_max_iter=pf_max_iter, pf_method=pf_method, network=_NETWORK, chord_iters=chord_iters,
+        x_tol=x_tol,
     )

@@ -46,6 +46,15 @@ from jax import lax
 
 _HI = lax.Precision.HIGHEST
 
+#: Matmul precision of the chord iteration's constant-Jacobian product
+#: ``dx = J0inv @ F``.  The chord method is a self-correcting fixed-point
+#: iteration (the mismatch F is always evaluated at HIGHEST precision), so
+#: the update product tolerates bf16 multiplies -- switch to
+#: ``lax.Precision.DEFAULT`` to trade ~0.4% update accuracy for 1-pass MXU
+#: matmuls on the [2m, 2m] x [2m, B] product (evaluated with the on-chip
+#: parity check + bench; see scripts/chord_proto.py and RESULTS.md).
+CHORD_PRECISION = _HI
+
 
 def cmul(ar, ai, br, bi):
     """(ar + j ai) * (br + j bi) -> (re, im)."""
@@ -278,7 +287,7 @@ def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan", chord_i
         def chord_body(c, _):
             theta, vm, F, diff, it = c
             active = diff > x_tol  # NaN freezes the lane
-            dx = jnp.dot(J0inv, F, precision=_HI)  # [2m, B]
+            dx = jnp.dot(J0inv, F, precision=CHORD_PRECISION)  # [2m, B]
             theta_n = theta - dx[:m]
             vm_n = vm - dx[m:]
             vr, vi = _construct_v(theta_n, vm_n)

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Generate the committed host-float64 reference trajectories for the
+on-chip parity check (``bench.py --check``; see gym_anm_tpu/check.py).
+
+Runs on CPU in float64 with the semantically-exact per-lane NR solver
+(``pf_method="scan"``, reference budget semantics).  All inputs (s0,
+actions, internal vars) are rounded to float32 before the reference rollout
+so host and chip consume bit-identical values.
+
+Usage:
+    JAX_PLATFORMS=cpu python scripts/gen_onchip_refs.py [--env anm6easy ...]
+    (the script forces the CPU platform itself; the env var is optional)
+"""
+
+import argparse
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from gym_anm_tpu import check  # noqa: E402
+
+
+def make_core_factory(env_name):
+    if env_name == "feeder33":
+        from gym_anm_tpu.envs.feeder33 import make_core
+    elif env_name == "feeder141":
+        from gym_anm_tpu.envs.feeder141 import make_core
+    else:
+        from gym_anm_tpu.envs.anm6.anm6_easy import make_core
+    return make_core
+
+
+def generate(env_name, action_scale=None, stress=None):
+    cfg = check.CHECK_CONFIG[env_name]
+    B, T, seed = cfg["B"], cfg["T"], cfg["seed"]
+    scale = cfg["action_scale"] if action_scale is None else action_scale
+    stress = cfg.get("stress", 0.0) if stress is None else stress
+    make_core = make_core_factory(env_name)
+    # Host-exact reference solver: per-lane NR with the reference's
+    # tolerance semantics, in float64.
+    core = make_core(pf_method="scan")
+    assert core.spec.dtype == np.float64, "reference generation must run in f64 (CPU, x64)"
+
+    actions = check.make_actions(core, B, T, seed, scale)
+    s0 = check.make_s0(core, B, seed)
+    vars_seq = check.record_vars(core, s0, actions, seed)
+    vars_seq = check.stress_vars(core, vars_seq, stress)
+    sv, rw, tm = check.rollout_given(core, s0, actions, vars_seq)
+    sv, rw, tm = np.asarray(sv), np.asarray(rw), np.asarray(tm)
+
+    frac0 = float(np.asarray(tm)[0].mean())
+    frac = float(tm[-1].mean())
+    print(
+        "%s: B=%d T=%d scale=%.2f stress=%.2f  terminated_frac: step0=%.3f final=%.3f"
+        % (env_name, B, T, scale, stress, frac0, frac)
+    )
+    if not (0.2 <= frac <= 0.8) and env_name != "feeder141":
+        # feeder141 is feasible-by-construction at full load; 0 terminations
+        # is expected there (see check.CHECK_CONFIG).
+        print("  WARNING: final terminated_frac outside [0.2, 0.8] -- recalibrate action_scale")
+
+    os.makedirs(check.DATA_DIR, exist_ok=True)
+    path = check.ref_path(env_name)
+    np.savez_compressed(
+        path,
+        s0=s0,
+        actions=actions,
+        vars=vars_seq,
+        state_vec=sv.astype(np.float32),
+        reward=rw.astype(np.float32),
+        terminated=tm,
+        meta=np.array([B, T, seed], dtype=np.int64),
+        action_scale=np.float64(scale),
+    )
+    print("  wrote %s (%.1f KB)" % (path, os.path.getsize(path) / 1024))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env", nargs="*", default=list(check.CHECK_CONFIG))
+    ap.add_argument("--scale", type=float, default=None, help="override action_scale (calibration)")
+    ap.add_argument("--stress", type=float, default=None, help="override load-stress ramp (calibration)")
+    args = ap.parse_args()
+    for env_name in args.env:
+        generate(env_name, args.scale, args.stress)
