@@ -1,20 +1,17 @@
-"""The 6-bus, 7-device environment base class with web rendering.
+"""The 6-bus, 7-device environment base class.
 
-Equivalent of the reference ``ANM6`` (``envs/anm6_env/anm6.py:13-239``):
-fixed 6-bus network, wall-clock date simulation for the visualization, and
-the render/close lifecycle over the HTTP + WebSocket rendering stack.
+Equivalent of the reference ``ANM6`` (``envs/anm6_env/anm6.py:13-239``): the
+fixed 6-bus network with wall-clock date simulation and the render/close
+lifecycle.  In this framework the render machinery (web/replay servers,
+simulated date clock) lives in :class:`~gym_anm_tpu.envs.anm_env.ANMEnv`
+itself -- the browser client is topology-generic, so every environment
+renders -- leaving this class as just the network binding.
 """
 
 from __future__ import annotations
 
-import datetime as dt
-from typing import Optional
-
-import numpy as np
-
 from ..anm_env import ANMEnv
 from .network import network
-from .utils import random_date
 
 
 class ANM6(ANMEnv):
@@ -33,172 +30,3 @@ class ANM6(ANMEnv):
 
     def __init__(self, observation, K, delta_t, gamma, lamb, aux_bounds=None, costs_clipping=(None, None), seed=None):
         super().__init__(network, observation, K, delta_t, gamma, lamb, aux_bounds, costs_clipping, seed)
-
-        self.network_specs = self.simulator.get_rendering_specs()
-        self.timestep_length = dt.timedelta(minutes=int(60 * delta_t))
-        self.date = None
-        self.date_init = None
-        self.year_count = 0
-        self.skipped_frames = None
-        self.render_mode = None
-        self.is_rendering = False
-
-    def render(self, mode="human", skip_frames=0):
-        """Render the current state of the network in the browser
-        (anm6.py:46-111). ``skip_frames`` updates the visualization only
-        every ``skip_frames + 1`` calls.
-
-        ``mode="replay"`` records frames in memory instead of pushing them
-        to live servers; ``write_replay(path)`` then writes one standalone
-        HTML file with timeline controls (render/replay.py)."""
-        if self.render_mode is None:
-            if mode not in ["human", "replay"]:
-                raise NotImplementedError()
-
-            self.render_mode = mode
-            self.skipped_frames = 0
-            rendered_network_specs = ["dev_type", "dev_p", "dev_q", "branch_s", "bus_v", "des_soc"]
-            specs = {s: self.network_specs[s] for s in rendered_network_specs}
-            self._init_render(specs)
-
-            self.render(mode=mode, skip_frames=skip_frames)
-            self.is_rendering = True
-        else:
-            self.skipped_frames = (self.skipped_frames + 1) % (skip_frames + 1)
-            if self.skipped_frames:
-                return
-
-            full_state = self.simulator.state
-            dev_p = list(full_state["dev_p"]["MW"].values())
-            dev_q = list(full_state["dev_q"]["MVAr"].values())
-            branch_s = list(full_state["branch_s"]["MVA"].values())
-            des_soc = list(full_state["des_soc"]["MWh"].values())
-            gen_p_max = list(full_state["gen_p_max"]["MW"].values())
-            bus_v_magn = list(full_state["bus_v_magn"]["pu"].values())
-            costs = [self.e_loss, self.penalty]
-            network_collapsed = not self.simulator.pfe_converged
-
-            self._update_render(dev_p, dev_q, branch_s, des_soc, gen_p_max, bus_v_magn, costs, network_collapsed)
-
-    def step(self, action):
-        obs, r, terminated, truncated, info = super().step(action)
-
-        # Advance the rendering clock (anm6.py:113-122).
-        self.date += self.timestep_length
-        self.year_count = (self.date - self.date_init).days // 365
-
-        return obs, r, terminated, truncated, info
-
-    def reset(self, *, seed: Optional[int] = None, options: Optional[dict] = None):
-        render_mode = self.render_mode
-
-        obs, info = super().reset(seed=seed, options=options)
-
-        self.render_mode = render_mode
-
-        self.year_count = 0
-        if options is not None and "date_init" in options:
-            self.date_init = options["date_init"]
-        else:
-            self.date_init = random_date(self.np_random, 2020)
-        self.date = self.date_init
-
-        return obs, info
-
-    def reset_date(self, date_init):
-        """Reset the visualization date (and the year count)."""
-        self.date_init = date_init
-        self.date = date_init
-
-    def _init_render(self, network_specs):
-        """Boot the rendering servers and send the init frame (anm6.py:148-187)."""
-        from ...render import rendering
-
-        title = type(self).__name__
-        dev_type = list(network_specs["dev_type"].values())
-        ps, qs = [], []
-        for i in network_specs["dev_p"].keys():
-            p_min_max = [network_specs["dev_p"][i]["MW"][j] for j in [0, 1]]
-            ps.append(np.max(np.abs(p_min_max)))
-            q_min_max = [network_specs["dev_q"][i]["MVAr"][j] for j in [0, 1]]
-            qs.append(np.max(np.abs(q_min_max)))
-        branch_rate = [network_specs["branch_s"][br]["MVA"][1] for br in network_specs["branch_s"].keys()]
-        bus_v_min = [network_specs["bus_v"][i]["pu"][0] for i in network_specs["bus_v"].keys()]
-        bus_v_max = [network_specs["bus_v"][i]["pu"][1] for i in network_specs["bus_v"].keys()]
-        soc_max = [network_specs["des_soc"][i]["MWh"][1] for i in network_specs["des_soc"].keys()]
-
-        c1 = 100 if self.costs_clipping[0] is None or np.isinf(self.costs_clipping[0]) else self.costs_clipping[0]
-        c2 = 10000 if self.costs_clipping[1] is None or np.isinf(self.costs_clipping[1]) else self.costs_clipping[1]
-        costs_range = (c1, c2)
-
-        # True grid graph (schema extension; see rendering.start): lets the
-        # client lay out any network instead of a hand-drawn per-env SVG.
-        spec = self.simulator.spec
-        srt = np.asarray(spec.bus_sorted)
-        inv = np.empty_like(srt)
-        inv[srt] = np.arange(len(srt))  # internal idx -> ascending-ID position
-        topology = {
-            "busOfDevice": [int(inv[b]) for b in np.asarray(spec.dev_bus)],
-            "branches": [
-                [int(inv[f]), int(inv[t])]
-                for f, t in zip(np.asarray(spec.br_f), np.asarray(spec.br_t))
-            ],
-            "slackBus": int(inv[0]),  # internal order puts the slack bus first
-        }
-
-        if self.render_mode == "replay":
-            from ...render.replay import EpisodeRecorder
-
-            self.recorder = EpisodeRecorder(
-                title, dev_type, ps, qs, branch_rate, bus_v_min, bus_v_max, soc_max, costs_range,
-                topology=topology,
-            )
-        else:
-            self.http_server, self.ws_server = rendering.start(
-                title, dev_type, ps, qs, branch_rate, bus_v_min, bus_v_max, soc_max, costs_range,
-                topology=topology,
-            )
-
-    def _update_render(self, dev_p, dev_q, branch_s, des_soc, gen_p_max, bus_v_magn, costs, network_collapsed):
-        """Push one state frame to the visualization (anm6.py:189-227)."""
-        if self.render_mode == "replay":
-            self.recorder.frame(
-                self.date, self.year_count, dev_p, dev_q, branch_s, des_soc,
-                gen_p_max, bus_v_magn, costs, network_collapsed,
-            )
-            return
-
-        from ...render import rendering
-
-        rendering.update(
-            self.ws_server.address,
-            self.date,
-            self.year_count,
-            dev_p,
-            dev_q,
-            branch_s,
-            des_soc,
-            gen_p_max,
-            bus_v_magn,
-            costs,
-            network_collapsed,
-        )
-
-    def write_replay(self, path):
-        """Write the recorded episode (``render(mode="replay")``) as one
-        standalone HTML file with timeline controls; returns the path."""
-        if getattr(self, "recorder", None) is None:
-            raise RuntimeError('no recorded frames: call render(mode="replay") while stepping first')
-        return self.recorder.write(path)
-
-    def close(self):
-        """Terminate the rendering servers (anm6.py:229-239); a replay
-        recording has no processes to stop (the recorder stays readable)."""
-        if self.is_rendering and self.render_mode != "replay":
-            from ...render import rendering
-
-            try:
-                rendering.close(self.http_server, self.ws_server)
-            except AttributeError:
-                pass
-        self.render_mode = None

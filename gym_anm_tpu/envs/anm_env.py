@@ -14,6 +14,7 @@ in the loop -- see :class:`gym_anm_tpu.envs.batched.BatchedEnv`.
 
 from __future__ import annotations
 
+import datetime as dt
 from copy import deepcopy
 from typing import Optional
 
@@ -42,7 +43,17 @@ class ANMEnv(gym.Env):
     ``observation`` ("state" | list of (quantity, ids|'all', unit?) |
     callable), ``K`` aux vars, ``delta_t`` (hours), ``gamma``, ``lamb``,
     optional ``aux_bounds``, ``costs_clipping=(c1, c2)``, ``seed``.
+
+    Unlike the reference -- where rendering lives in the hand-drawn 6-bus
+    ``ANM6`` subclass (reference anm6.py:46-227) and every other environment
+    cannot render -- the web/replay render lifecycle is implemented *here*:
+    the browser client lays out any topology procedurally, so every
+    ``ANMEnv`` subclass (ANM6Easy, Feeder33Env, Feeder141Env, custom
+    networks) gets ``render(mode="human"|"replay")``, ``write_replay`` and
+    the simulated date clock for free.
     """
+
+    metadata = {"render_modes": ["human", "replay"]}
 
     def __init__(
         self,
@@ -116,6 +127,16 @@ class ANMEnv(gym.Env):
         self.penalty = 0.0
         self.pfe_converged = None
 
+        # Rendering / simulated-clock state (reference anm6.py:38-44,
+        # generalized to every environment).
+        self.network_specs = self.simulator.get_rendering_specs()
+        self.timestep_length = dt.timedelta(minutes=int(60 * delta_t))
+        self.date = None
+        self.date_init = None
+        self.year_count = 0
+        self.skipped_frames = None
+        self.is_rendering = False
+
     # ------------------------------------------------------------------
     # Task hooks (to be implemented by subclasses; anm_env.py:158-191).
     # ------------------------------------------------------------------
@@ -147,7 +168,6 @@ class ANMEnv(gym.Env):
         super().reset(seed=seed, options=options)
 
         self.terminated = False
-        self.render_mode = None
         self.timestep = 0
         self.e_loss = 0.0
         self.penalty = 0.0
@@ -193,6 +213,19 @@ class ANMEnv(gym.Env):
         if self.terminated:
             self.state = self._terminal_state(self.state_N)
             obs = self._terminal_state(self.observation_N)
+
+        # Restart the simulated date clock.  The render session (if any)
+        # survives resets, and the date draw comes *after* the init_state
+        # retry loop so the np_random call order matches the reference
+        # exactly (reference anm6.py:124-141).
+        self.year_count = 0
+        if options is not None and "date_init" in options:
+            self.date_init = options["date_init"]
+        else:
+            from .anm6.utils import random_date
+
+            self.date_init = random_date(self.np_random, 2020)
+        self.date = self.date_init
 
         return obs, {}
 
@@ -240,18 +273,155 @@ class ANMEnv(gym.Env):
             self.state = self._terminal_state(self.state_N)
             obs = self._terminal_state(self.observation_N)
 
-        # 5. Update the timestep.
+        # 5. Update the timestep and the simulated clock (reference
+        # anm6.py:113-122, generalized).
         self.timestep += 1
+        if self.date is not None:
+            self.date += self.timestep_length
+            self.year_count = (self.date - self.date_init).days // 365
 
         return obs, r, self.terminated, truncated, info
 
-    def render(self, mode="human"):
-        """Update the rendering (to be overwritten; anm_env.py:455-463)."""
-        raise NotImplementedError()
+    # ------------------------------------------------------------------
+    # Rendering (reference anm6.py:46-239, lifted to the base class: the
+    # browser client is topology-generic, so every environment renders).
+    # ------------------------------------------------------------------
+    def render(self, mode="human", skip_frames=0):
+        """Render the current state of the network in the browser
+        (reference anm6.py:46-111). ``skip_frames`` updates the
+        visualization only every ``skip_frames + 1`` calls.
+
+        ``mode="replay"`` records frames in memory instead of pushing them
+        to live servers; ``write_replay(path)`` then writes one standalone
+        HTML file with timeline controls (render/replay.py)."""
+        if self.render_mode is None:
+            if mode not in ["human", "replay"]:
+                raise NotImplementedError()
+
+            self.render_mode = mode
+            self.skipped_frames = 0
+            rendered_network_specs = ["dev_type", "dev_p", "dev_q", "branch_s", "bus_v", "des_soc"]
+            specs = {s: self.network_specs[s] for s in rendered_network_specs}
+            self._init_render(specs)
+
+            self.render(mode=mode, skip_frames=skip_frames)
+            self.is_rendering = True
+        else:
+            self.skipped_frames = (self.skipped_frames + 1) % (skip_frames + 1)
+            if self.skipped_frames:
+                return
+
+            full_state = self.simulator.state
+            dev_p = list(full_state["dev_p"]["MW"].values())
+            dev_q = list(full_state["dev_q"]["MVAr"].values())
+            branch_s = list(full_state["branch_s"]["MVA"].values())
+            des_soc = list(full_state["des_soc"]["MWh"].values())
+            gen_p_max = list(full_state["gen_p_max"]["MW"].values())
+            bus_v_magn = list(full_state["bus_v_magn"]["pu"].values())
+            costs = [self.e_loss, self.penalty]
+            network_collapsed = not self.simulator.pfe_converged
+
+            self._update_render(dev_p, dev_q, branch_s, des_soc, gen_p_max, bus_v_magn, costs, network_collapsed)
+
+    def reset_date(self, date_init):
+        """Reset the visualization date (and the year count)."""
+        self.date_init = date_init
+        self.date = date_init
+
+    def _init_render(self, network_specs):
+        """Boot the rendering servers and send the init frame
+        (reference anm6.py:148-187)."""
+        from ..render import rendering
+
+        title = type(self).__name__
+        dev_type = list(network_specs["dev_type"].values())
+        ps, qs = [], []
+        for i in network_specs["dev_p"].keys():
+            p_min_max = [network_specs["dev_p"][i]["MW"][j] for j in [0, 1]]
+            ps.append(np.max(np.abs(p_min_max)))
+            q_min_max = [network_specs["dev_q"][i]["MVAr"][j] for j in [0, 1]]
+            qs.append(np.max(np.abs(q_min_max)))
+        branch_rate = [network_specs["branch_s"][br]["MVA"][1] for br in network_specs["branch_s"].keys()]
+        bus_v_min = [network_specs["bus_v"][i]["pu"][0] for i in network_specs["bus_v"].keys()]
+        bus_v_max = [network_specs["bus_v"][i]["pu"][1] for i in network_specs["bus_v"].keys()]
+        soc_max = [network_specs["des_soc"][i]["MWh"][1] for i in network_specs["des_soc"].keys()]
+
+        c1 = 100 if self.costs_clipping[0] is None or np.isinf(self.costs_clipping[0]) else self.costs_clipping[0]
+        c2 = 10000 if self.costs_clipping[1] is None or np.isinf(self.costs_clipping[1]) else self.costs_clipping[1]
+        costs_range = (c1, c2)
+
+        # True grid graph (schema extension; see rendering.start): lets the
+        # client lay out any network instead of a hand-drawn per-env SVG.
+        spec = self.simulator.spec
+        srt = np.asarray(spec.bus_sorted)
+        inv = np.empty_like(srt)
+        inv[srt] = np.arange(len(srt))  # internal idx -> ascending-ID position
+        topology = {
+            "busOfDevice": [int(inv[b]) for b in np.asarray(spec.dev_bus)],
+            "branches": [
+                [int(inv[f]), int(inv[t])]
+                for f, t in zip(np.asarray(spec.br_f), np.asarray(spec.br_t))
+            ],
+            "slackBus": int(inv[0]),  # internal order puts the slack bus first
+        }
+
+        if self.render_mode == "replay":
+            from ..render.replay import EpisodeRecorder
+
+            self.recorder = EpisodeRecorder(
+                title, dev_type, ps, qs, branch_rate, bus_v_min, bus_v_max, soc_max, costs_range,
+                topology=topology,
+            )
+        else:
+            self.http_server, self.ws_server = rendering.start(
+                title, dev_type, ps, qs, branch_rate, bus_v_min, bus_v_max, soc_max, costs_range,
+                topology=topology,
+            )
+
+    def _update_render(self, dev_p, dev_q, branch_s, des_soc, gen_p_max, bus_v_magn, costs, network_collapsed):
+        """Push one state frame to the visualization (reference anm6.py:189-227)."""
+        if self.render_mode == "replay":
+            self.recorder.frame(
+                self.date, self.year_count, dev_p, dev_q, branch_s, des_soc,
+                gen_p_max, bus_v_magn, costs, network_collapsed,
+            )
+            return
+
+        from ..render import rendering
+
+        rendering.update(
+            self.ws_server.address,
+            self.date,
+            self.year_count,
+            dev_p,
+            dev_q,
+            branch_s,
+            des_soc,
+            gen_p_max,
+            bus_v_magn,
+            costs,
+            network_collapsed,
+        )
+
+    def write_replay(self, path):
+        """Write the recorded episode (``render(mode="replay")``) as one
+        standalone HTML file with timeline controls; returns the path."""
+        if getattr(self, "recorder", None) is None:
+            raise RuntimeError('no recorded frames: call render(mode="replay") while stepping first')
+        return self.recorder.write(path)
 
     def close(self):
-        """Close the rendering (to be overwritten; anm_env.py:465-473)."""
-        raise NotImplementedError()
+        """Terminate the rendering servers (reference anm6.py:229-239); a
+        replay recording has no processes to stop (the recorder stays
+        readable); closing a never-rendered environment is a no-op."""
+        if self.is_rendering and self.render_mode != "replay":
+            from ..render import rendering
+
+            try:
+                rendering.close(self.http_server, self.ws_server)
+            except AttributeError:
+                pass
+        self.render_mode = None
 
     # ------------------------------------------------------------------
     def _build_observation_space(self, observation):

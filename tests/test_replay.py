@@ -52,3 +52,51 @@ def test_replay_requires_recording():
         pass
     finally:
         env.close()
+
+
+def test_feeder_envs_render_replay(tmp_path):
+    """Rendering is generic over topologies (VERDICT r1 item 4): the 33- and
+    141-bus feeders record and write working replay artifacts too."""
+    from gym_anm_tpu.envs.feeder33 import Feeder33Env
+    from gym_anm_tpu.envs.feeder141 import Feeder141Env
+
+    for cls, n_bus in ((Feeder33Env, 33), (Feeder141Env, 141)):
+        env = cls()
+        env.reset(seed=0)
+        env.render(mode="replay")
+        for _ in range(2):
+            env.step(np.zeros(env.action_space.shape, dtype=np.float64))
+            env.render()
+        path = env.write_replay(str(tmp_path / f"episode_{n_bus}.html"))
+        env.close()
+
+        with open(path) as f:
+            html = f.read()
+        m = re.search(r"var REPLAY = (\{.*?\});</script>", html, re.S)
+        assert m, "embedded replay data not found"
+        data = json.loads(m.group(1).replace("<\\/", "</"))
+        n_dev = env.simulator.spec.n_dev
+        assert len(data["init"]["deviceType"]) == n_dev
+        assert len(data["init"]["topology"]["busOfDevice"]) == n_dev
+        assert len(data["frames"]) == 3
+        for fr in data["frames"]:
+            assert len(fr["vMagn"]) == n_bus
+            assert not fr["networkCollapsed"]
+
+
+def test_feeder_env_live_render_smoke():
+    """Live-mode render on a non-ANM6 env boots the real HTTP/WS servers
+    (headless: no browser opens) and close() tears them down."""
+    from unittest import mock
+
+    from gym_anm_tpu.envs.feeder33 import Feeder33Env
+
+    env = Feeder33Env()
+    env.reset(seed=0)
+    with mock.patch("webbrowser.open"):
+        env.render()  # human mode: boots servers, sends the init message
+    env.step(np.zeros(env.action_space.shape, dtype=np.float64))
+    env.render()
+    assert env.is_rendering
+    env.close()
+    assert env.render_mode is None
