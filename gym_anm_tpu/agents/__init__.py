@@ -1,5 +1,13 @@
 from .mpc import MPCAgent
 from .mpc_constant import MPCAgentConstant
 from .mpc_perfect import MPCAgentPerfect
+from .mpc_banded import MPCAgentBanded, MPCAgentConstantBanded, MPCAgentPerfectBanded
 
-__all__ = ["MPCAgent", "MPCAgentConstant", "MPCAgentPerfect"]
+__all__ = [
+    "MPCAgent",
+    "MPCAgentConstant",
+    "MPCAgentPerfect",
+    "MPCAgentBanded",
+    "MPCAgentConstantBanded",
+    "MPCAgentPerfectBanded",
+]

@@ -402,6 +402,7 @@ class MPCAgent:
         x = np.zeros(n)
         z = np.clip(np.zeros(m), ls, us)
         y = np.zeros(m)
+        prev_worst = np.inf
         for _ in range(max_chunks):
             x, z, y, pri, dual = (
                 np.asarray(v)
@@ -410,8 +411,12 @@ class MPCAgent:
                     jnp.asarray(L), jnp.asarray(rho_vec),
                 )
             )
+            worst = max(pri, dual)
             if pri < eps and dual < eps:
                 break
+            if worst < 1e-6 and worst > 0.5 * prev_worst:
+                break  # stalled at the residual floor; the polish finishes
+            prev_worst = worst
             factor = np.sqrt(max(pri, 1e-16) / max(dual, 1e-16))
             factor = float(np.clip(factor, 1e-2, 1e2))
             if 0.5 < factor < 2.0:

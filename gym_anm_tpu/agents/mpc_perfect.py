@@ -13,7 +13,26 @@ from .mpc import MPCAgent
 
 class MPCAgentPerfect(MPCAgent):
     """The pi_MPC-N^perfect policy: future demand and generation are read
-    from the environment's true time series."""
+    from the environment's true time series.
+
+    ``P_loads``/``P_maxs`` (each ``[n, T_day]``, MW) may be passed at
+    construction to enable the batched fleet path :meth:`act_batch` --
+    they are the same fixed daily tables the host path reads off the env
+    (e.g. ``ANM6Easy.P_loads``/``P_maxs``)."""
+
+    def __init__(
+        self,
+        simulator,
+        action_space,
+        gamma,
+        safety_margin=0.9,
+        planning_steps=1,
+        P_loads=None,
+        P_maxs=None,
+    ):
+        super().__init__(simulator, action_space, gamma, safety_margin, planning_steps)
+        self.P_loads = None if P_loads is None else np.asarray(P_loads, dtype=float)
+        self.P_maxs = None if P_maxs is None else np.asarray(P_maxs, dtype=float)
 
     def forecast(self, env):
         t_start = int(env.state[-1]) + 1
@@ -28,3 +47,31 @@ class MPCAgentPerfect(MPCAgent):
         P_load_forecast = P_loads[:, t_start:t_end] / self.baseMVA
         P_gen_forecast = P_gen_pot[:, t_start:t_end] / self.baseMVA
         return P_load_forecast, P_gen_forecast
+
+    def act_batch(self, state_vecs, warm_start=False):
+        """Batched perfect-forecast policy over B environment lanes.
+
+        ``state_vecs [B, state_n]`` are canonical state vectors whose last
+        entry is the time-of-day index (the ANM6Easy/feeder convention);
+        the true future is read from the daily tables handed to the
+        constructor, wrapping across days (mpc_perfect.py:24-27).
+        Returns actions [B, action_n] in MW/MVAr.
+        """
+        if self.P_loads is None or self.P_maxs is None:
+            raise ValueError(
+                "act_batch needs the task's daily tables: construct with "
+                "MPCAgentPerfect(..., P_loads=env.P_loads, P_maxs=env.P_maxs)"
+            )
+        sv = np.asarray(state_vecs, dtype=float)
+        spec = self.spec
+        d = spec.n_dev
+        base = self.baseMVA
+        N = self.planning_steps
+        T_day = self.P_loads.shape[1]
+
+        t0 = sv[:, -1].astype(int)  # [B] time-of-day indices
+        idx = (t0[:, None] + 1 + np.arange(N)[None, :]) % T_day  # [B, N]
+        load_f = self.P_loads[:, idx].transpose(1, 0, 2) / base  # [B, n_load, N]
+        gen_f = self.P_maxs[:, idx].transpose(1, 0, 2) / base  # [B, n_gen-1, N]
+        socs = sv[:, 2 * d : 2 * d + spec.n_des] / base
+        return self.solve_batch(load_f, gen_f, socs, warm_start=warm_start)

@@ -38,17 +38,39 @@ def main():
         help="receding-horizon mode: step the fleet with the MPC action between "
         "timed solves and warm-start each solve from the previous ADMM iterate",
     )
+    ap.add_argument(
+        "--solver",
+        default="dense",
+        choices=["dense", "banded"],
+        help="LP backend: dense (agents/mpc.py) or stage-banded "
+        "(agents/mpc_banded.py; the scalable choice for long horizons / "
+        "large networks)",
+    )
+    ap.add_argument(
+        "--env",
+        default="anm6easy",
+        choices=["anm6easy", "feeder33", "feeder141"],
+        help="environment/network to bench on (feeder141 requires --solver banded)",
+    )
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     import gym_anm_tpu  # noqa: F401  (registers envs)
-    from gym_anm_tpu.agents import MPCAgentConstant
-    from gym_anm_tpu.envs.anm6.anm6_easy import ANM6Easy, make_core
+    from gym_anm_tpu.agents import MPCAgentConstant, MPCAgentConstantBanded
+
+    if args.env == "feeder33":
+        from gym_anm_tpu.envs.feeder33 import Feeder33Env as HostEnv, make_core
+    elif args.env == "feeder141":
+        from gym_anm_tpu.envs.feeder141 import Feeder141Env as HostEnv, make_core
+    else:
+        from gym_anm_tpu.envs.anm6.anm6_easy import ANM6Easy as HostEnv, make_core
     from gym_anm_tpu.envs.batched import BatchedEnv
 
-    host_env = ANM6Easy()
+    agent_cls = MPCAgentConstantBanded if args.solver == "banded" else MPCAgentConstant
+
+    host_env = HostEnv()
     host_env.reset(seed=0)
 
     for B in args.batch:
@@ -61,7 +83,7 @@ def main():
         state_vecs = np.asarray(es.state_vec)
 
         for N in args.horizon:
-            agent = MPCAgentConstant(
+            agent = agent_cls(
                 host_env.simulator, host_env.action_space, host_env.gamma, planning_steps=N
             )
             t0 = time.time()
@@ -96,6 +118,8 @@ def main():
                         "detail": {
                             "batch": B,
                             "horizon": N,
+                            "env": args.env,
+                            "solver": args.solver,
                             "warm_start": bool(args.warm),
                             "median_s_per_batch": round(med, 4),
                             "first_call_s": round(compile_s, 2),

@@ -1,0 +1,180 @@
+"""The stage-banded MPC solver backend (agents/mpc_banded.py).
+
+The banded backend must be *indistinguishable* from the dense one where
+both apply (same LP, same ADMM math, same polish), while scaling to the
+horizons/networks the dense assembly cannot reach (horizon 20, feeder141).
+"""
+
+import numpy as np
+import pytest
+
+import gym_anm_tpu
+from gym_anm_tpu.agents import (
+    MPCAgentConstant,
+    MPCAgentConstantBanded,
+    MPCAgentPerfect,
+    MPCAgentPerfectBanded,
+)
+
+TOL = 1e-6
+
+
+def _stepped_env(n_warm=3, seed=42):
+    env = gym_anm_tpu.envs.ANM6Easy()
+    env.reset(seed=seed)
+    for _ in range(n_warm):
+        env.step(np.zeros(env.action_space.shape, dtype=np.float64))
+    return env
+
+
+def test_banded_dense_lp_mirror_identical():
+    """The banded builder's dense mirror reproduces the dense builder's
+    (A, l, u, q) rows exactly (up to row order within a stage)."""
+    env = _stepped_env()
+    for N in (1, 3):
+        dense = MPCAgentConstant(env.simulator, env.action_space, env.gamma, planning_steps=N)
+        banded = MPCAgentConstantBanded(env.simulator, env.action_space, env.gamma, planning_steps=N)
+        assert banded.nz == dense.nz
+        assert banded.A.shape == dense.A.shape
+        np.testing.assert_allclose(np.sort(banded.q), np.sort(dense.q))
+        # Row-set equality: every dense row (with its bounds) appears in the
+        # banded mirror and vice versa.
+        def rowset(A, l, u):
+            rows = np.concatenate([A, l[:, None], np.where(np.isfinite(u), u, 1e30)[:, None]], axis=1)
+            return np.array(sorted(map(tuple, np.round(rows, 9))))
+
+        np.testing.assert_allclose(
+            rowset(banded.A, banded.l, banded.u), rowset(dense.A, dense.l, dense.u), atol=1e-9
+        )
+
+
+@pytest.mark.parametrize("planning_steps", [1, 3])
+def test_banded_matches_dense_actions(planning_steps):
+    env = _stepped_env()
+    dense = MPCAgentConstant(env.simulator, env.action_space, env.gamma, planning_steps=planning_steps)
+    banded = MPCAgentConstantBanded(env.simulator, env.action_space, env.gamma, planning_steps=planning_steps)
+    for _ in range(3):
+        ad, ab = dense.act(env), banded.act(env)
+        np.testing.assert_allclose(ab, ad, atol=1e-5)
+        env.step(ad)
+
+
+def test_banded_feeder33():
+    """Banded backend on a bigger network: optimal to the same HiGHS oracle
+    as the dense backend (the LP is degenerate, so the two backends may
+    return different optimal vertices -- actions agree to ~MW-negligible
+    1e-2, objectives to 1e-3) and keeps the feeder alive."""
+    from scipy.optimize import linprog
+
+    from gym_anm_tpu.envs.feeder33 import Feeder33Env
+
+    env = Feeder33Env(seed=3)
+    env.reset(seed=3)
+    dense = MPCAgentConstant(env.simulator, env.action_space, env.gamma, planning_steps=2)
+    banded = MPCAgentConstantBanded(env.simulator, env.action_space, env.gamma, planning_steps=2)
+    for t in range(3):
+        ad, ab = dense.act(env), banded.act(env)
+        assert env.action_space.contains(ab.astype(np.float64))
+        # Renewable dispatch is cost-free, so its split across PV units is a
+        # degenerate direction: compare *objectives* (both must match the
+        # HiGHS optimum), not per-entry actions.
+        sol = banded.last_solution
+        lv, uv = sol["lv"], sol["uv"]
+        eq = (lv == uv) & np.isfinite(lv)
+        ub = np.isfinite(uv) & ~eq
+        lb = np.isfinite(lv) & ~eq
+        res = linprog(
+            banded.q,
+            A_ub=np.vstack([banded.A[ub], -banded.A[lb]]),
+            b_ub=np.concatenate([uv[ub], -lv[lb]]),
+            A_eq=banded.A[eq],
+            b_eq=lv[eq],
+            bounds=[(None, None)] * banded.nz,
+            method="highs",
+        )
+        assert abs(banded.q @ sol["x"] - res.fun) < 1e-3
+        assert abs(dense.q @ dense.last_solution["x"] - res.fun) < 1e-3
+        _, r, terminated, _, _ = env.step(ab)
+        assert not terminated
+
+
+def test_banded_feeder141_horizon5():
+    """The dense assembly is infeasible here (S=455/stage); the banded
+    backend plans at horizon 5 on the 141-bus network, its solution is
+    feasible to ADMM tolerance, and the grid survives under its control."""
+    from gym_anm_tpu.envs.feeder141 import Feeder141Env
+
+    env = Feeder141Env()
+    env.reset(seed=7)
+    agent = MPCAgentConstantBanded(
+        env.simulator, env.action_space, env.gamma, safety_margin=0.96, planning_steps=5
+    )
+    assert agent.nz > agent.POLISH_MAX_NZ  # genuinely past the dense-polish regime
+    for t in range(3):
+        a = agent.act(env)
+        assert env.action_space.contains(a.astype(np.float64))
+        sol = agent.last_solution
+        Ax = agent.A @ sol["x"]  # dense mirror exists below MIRROR_MAX_NZ
+        # No polish at this size: feasibility to ADMM residual tolerance.
+        assert np.max(np.maximum(0.0, sol["lv"] - Ax)) < 1e-4
+        assert np.max(np.maximum(0.0, Ax - sol["uv"])) < 1e-4
+        _, r, terminated, _, _ = env.step(a)
+        assert not terminated
+
+
+def test_banded_batched_matches_single():
+    env = _stepped_env()
+    agent = MPCAgentConstantBanded(env.simulator, env.action_space, env.gamma, planning_steps=4)
+    single = agent.act(env)
+    sv = np.asarray(env.state)[None, :].repeat(4, axis=0)
+    acts = agent.act_batch(sv)
+    assert acts.shape == (4, env.action_space.shape[0])
+    np.testing.assert_allclose(acts, single[None, :].repeat(4, axis=0), atol=2e-4)
+
+    # Warm receding-horizon reuse works and matches cold solves.
+    warm = agent.act_batch(sv, warm_start=True)
+    np.testing.assert_allclose(warm, acts, atol=1e-5)
+    warm2 = agent.act_batch(sv, warm_start=True)
+    np.testing.assert_allclose(warm2, acts, atol=2e-4)
+
+
+def test_perfect_act_batch_matches_single():
+    """MPCAgentPerfect.act_batch (new in r2) reproduces the host-path
+    per-env actions from canonical state vectors."""
+    env = _stepped_env(n_warm=2, seed=5)
+    single_agent = MPCAgentPerfect(
+        env.simulator, env.action_space, env.gamma, safety_margin=0.96, planning_steps=4
+    )
+    batch_agent = MPCAgentPerfect(
+        env.simulator,
+        env.action_space,
+        env.gamma,
+        safety_margin=0.96,
+        planning_steps=4,
+        P_loads=env.P_loads,
+        P_maxs=env.P_maxs,
+    )
+    a_single = single_agent.act(env)
+    sv = np.asarray(env.state)[None, :]
+    a_batch = batch_agent.act_batch(sv)
+    np.testing.assert_allclose(a_batch[0], a_single, atol=2e-2)
+
+    # Banded combo class drives the same forecasts.
+    banded = MPCAgentPerfectBanded(
+        env.simulator,
+        env.action_space,
+        env.gamma,
+        safety_margin=0.96,
+        planning_steps=4,
+        P_loads=env.P_loads,
+        P_maxs=env.P_maxs,
+    )
+    a_banded = banded.act_batch(sv)
+    np.testing.assert_allclose(a_banded[0], a_single, atol=2e-2)
+
+
+def test_perfect_act_batch_requires_tables():
+    env = _stepped_env(n_warm=0)
+    agent = MPCAgentPerfect(env.simulator, env.action_space, env.gamma, planning_steps=2)
+    with pytest.raises(ValueError, match="daily tables"):
+        agent.act_batch(np.asarray(env.state)[None, :])
