@@ -15,7 +15,15 @@ from .agents import MPCAgent, MPCAgentConstant, MPCAgentPerfect
 from .envs import ANM6, ANM6Easy, ANMEnv
 from .simulator import Simulator
 
-__version__ = "0.1.0"
+# Tag-derived version via setuptools-scm (see pyproject.toml); when running
+# from a source checkout that was never pip-installed, fall back to a local
+# marker rather than failing at import time.
+try:
+    from importlib.metadata import version as _pkg_version
+
+    __version__ = _pkg_version("gym-anm-tpu")
+except Exception:  # PackageNotFoundError, or stdlib metadata unavailable
+    __version__ = "0.0.0+local"
 
 register(
     id="ANM6Easy-v0",
