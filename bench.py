@@ -39,6 +39,14 @@ def main():
     )
     ap.add_argument("--env", default="anm6easy", choices=["anm6easy", "feeder33", "feeder141"])
     ap.add_argument("--tail", type=int, default=None, help="NR iteration budget (tail for --pf hybrid)")
+    ap.add_argument(
+        "--chord-precision",
+        default=None,
+        choices=["highest", "default"],
+        help="matmul precision of the chord iteration's J0inv @ F product "
+        "('default' = bf16-truncated inputs, 1-pass MXU; evaluated with the "
+        "parity check -- see ops/power_flow.CHORD_PRECISION)",
+    )
     check_group = ap.add_mutually_exclusive_group()
     check_group.add_argument(
         "--check",
@@ -72,6 +80,8 @@ def main():
         # that avoids 560x560 per-lane eliminations at 141.
         args.pf = "pallas" if args.env == "anm6easy" else "hybrid"
     kw = {}
+    if args.chord_precision is not None:
+        kw["chord_precision"] = args.chord_precision
     if args.tail is not None:
         kw["pf_max_iter"] = args.tail
     elif args.pf in ("hybrid", "fused_hybrid") and args.env == "anm6easy":
@@ -166,6 +176,9 @@ def main():
         "nr_iterations_per_s": round(sps * iters_per_step, 1),
         "nr_iters_per_step": iters_per_step,
     }
+    if args.pf in ("hybrid", "fused_hybrid"):
+        # The core's resolved setting (feeder141 defaults to "default").
+        detail["chord_precision"] = str(core.chord_precision or "highest")
     if flops_per_program is not None:
         # Achieved model FLOP/s over the pipelined steady state, and MFU
         # against the chip's bf16 peak (v5e: 197 TFLOP/s; f32-by-passes

@@ -129,6 +129,7 @@ class EnvCore:
         max_iter: int = 100,
         pf_method: str = "scan",
         chord_iters: int = 16,
+        chord_precision=None,
         stochastic_vars: bool = True,
     ):
         self.spec = spec
@@ -145,6 +146,11 @@ class EnvCore:
         self.max_iter = max_iter
         self.pf_method = pf_method
         self.chord_iters = int(chord_iters)
+        # Matmul precision of the XLA chord phase's J0inv @ F update (None
+        # -> ops.power_flow.CHORD_PRECISION); "default" trades bf16 input
+        # truncation for 1-pass MXU products on chord-dominated solves
+        # (see solve_pfe docstring; +28% measured on feeder141).
+        self.chord_precision = chord_precision
         # False => next_vars_fn ignores its PRNG key (deterministic process),
         # letting the batched path skip per-lane key splitting.
         self.stochastic_vars = stochastic_vars
@@ -290,6 +296,7 @@ class EnvCore:
             max_iter=self.max_iter,
             pf_method=self.pf_method,
             chord_iters=self.chord_iters,
+            chord_precision=self.chord_precision,
         )
 
         c1, c2 = self.costs_clipping
@@ -348,7 +355,15 @@ class EnvCore:
             raise EnvInitializationError(
                 "Expected size of initial state s0 is %d but actual is %d" % (self.expected_s0_n, s0.shape[-1])
             )
-        sim = sim_reset(spec, s0, x_tol=self.x_tol, max_iter=self.max_iter, pf_method=self.pf_method, chord_iters=self.chord_iters)
+        sim = sim_reset(
+            spec,
+            s0,
+            x_tol=self.x_tol,
+            max_iter=self.max_iter,
+            pf_method=self.pf_method,
+            chord_iters=self.chord_iters,
+            chord_precision=self.chord_precision,
+        )
         aux = s0[..., 2 * spec.n_dev + spec.n_des + spec.n_gen :]
         terminated = ~sim.pfe_converged
         sim = _select(terminated, zeros_state(spec), sim)

@@ -192,6 +192,7 @@ def transition(
     max_iter=100,
     pf_method="scan",
     chord_iters=16,
+    chord_precision=None,
 ) -> TransitionResult:
     """One physics transition (simulator.py:464-537). All inputs in p.u.
 
@@ -326,7 +327,7 @@ def transition(
         method = {"pallas": "scan"}.get(pf_method, pf_method)
         v_re, v_im, _, _, converged = solve_pfe(
             spec.Y_re, spec.Y_im, p_in, q_in, x_tol=x_tol, max_iter=max_iter, method=method,
-            chord_iters=chord_iters, J0inv=J0inv,
+            chord_iters=chord_iters, J0inv=J0inv, chord_precision=chord_precision,
         )
 
     # Nodal currents I = Y V and slack power (solve_load_flow.py:54-72;
@@ -377,7 +378,9 @@ def transition(
     return TransitionResult(state, reward, e_loss, penalty, converged)
 
 
-def sim_reset(spec: GridSpec, s0, x_tol=1e-5, max_iter=100, pf_method="scan", chord_iters=16) -> SimState:
+def sim_reset(
+    spec: GridSpec, s0, x_tol=1e-5, max_iter=100, pf_method="scan", chord_iters=16, chord_precision=None
+) -> SimState:
     """Apply an initial state vector (reference layout, MW/MVAr/MWh units)
     to the grid (simulator.py:225-293).
 
@@ -409,6 +412,7 @@ def sim_reset(spec: GridSpec, s0, x_tol=1e-5, max_iter=100, pf_method="scan", ch
         max_iter=max_iter,
         pf_method=pf_method,
         chord_iters=chord_iters,
+        chord_precision=chord_precision,
     )
     # Override the SoC with the requested initial value (simulator.py:284-288;
     # note the reference does not clip it here).

@@ -6,7 +6,9 @@ from .randomized import (
     MultiBatchedEnv,
     perturb_branches,
     ppo_trainer_for_fleet,
+    sac_trainer_for_fleet,
     randomized_anm6easy_cores,
+    randomized_feeder33_cores,
 )
 from .vector import ANMVectorEnv
 
@@ -18,5 +20,8 @@ __all__ = [
     "ANMVectorEnv",
     "MultiBatchedEnv",
     "perturb_branches",
+    "ppo_trainer_for_fleet",
+    "sac_trainer_for_fleet",
     "randomized_anm6easy_cores",
+    "randomized_feeder33_cores",
 ]

@@ -142,7 +142,7 @@ class ANM6Easy(ANM6):
         return anm6easy_next_vars(s_t, self._P_loads_j, self._P_maxs_j)
 
 
-def make_core(dtype=None, pf_max_iter=10, pf_method="pallas", network=None):
+def make_core(dtype=None, pf_max_iter=10, pf_method="pallas", network=None, chord_precision=None):
     """Build the pure-functional ANM6Easy :class:`EnvCore` (no Gymnasium
     adapter, no host hooks) -- the batched/vmapped fast path used by
     :class:`gym_anm_tpu.envs.batched.BatchedEnv` and the benchmarks.
@@ -181,6 +181,7 @@ def make_core(dtype=None, pf_max_iter=10, pf_method="pallas", network=None):
         next_vars_fn=lambda s, key: anm6easy_next_vars(s, P_loads, P_maxs),
         max_iter=pf_max_iter,
         pf_method=pf_method,
+        chord_precision=chord_precision,
         stochastic_vars=False,  # deterministic table lookup by time-of-day
     )
 

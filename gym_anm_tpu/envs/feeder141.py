@@ -148,7 +148,7 @@ class Feeder141Env(Feeder33Env):
         super().__init__(seed=seed, network=_NETWORK)
 
 
-def make_core(dtype=None, pf_max_iter=None, pf_method="hybrid", chord_iters=28, x_tol=None):
+def make_core(dtype=None, pf_max_iter=None, pf_method="hybrid", chord_iters=28, x_tol=None, chord_precision=None):
     """Pure-functional EnvCore for the 141-bus network.
 
     Default solver: **chord-only** (``pf_method="hybrid"`` with a zero
@@ -189,7 +189,15 @@ def make_core(dtype=None, pf_max_iter=None, pf_method="hybrid", chord_iters=28, 
         # Host-side dtype resolution (no eager device op).
         f32 = (dtype == _jnp.float32) if dtype is not None else not jax.config.jax_enable_x64
         x_tol = 3e-5 if (pf_method == "hybrid" and pf_max_iter == 0 and f32) else 1e-5
+    if chord_precision is None and pf_method == "hybrid":
+        # Chord-dominated solve: the J0inv @ F update products ARE the
+        # program, and the chord fixed point is precision-independent (the
+        # mismatch stays HIGHEST).  bf16-truncated 1-pass MXU products are
+        # +28% end-to-end at identical on-chip parity (bench.py --check,
+        # RESULTS.md round 2), so they are this network's default; pass
+        # chord_precision="highest" to get 6-pass f32-exact products back.
+        chord_precision = "default"
     return _feeder_make_core(
         dtype=dtype, pf_max_iter=pf_max_iter, pf_method=pf_method, network=_NETWORK, chord_iters=chord_iters,
-        x_tol=x_tol,
+        x_tol=x_tol, chord_precision=chord_precision,
     )

@@ -132,7 +132,9 @@ def _daily_factor(t):
     return 0.75 + 0.25 * np.sin(2 * np.pi * (np.asarray(t, dtype=float) / 96.0 - 0.3))
 
 
-def make_core(dtype=None, pf_max_iter=None, pf_method="hybrid", network=None, chord_iters=16, x_tol=1e-5):
+def make_core(
+    dtype=None, pf_max_iter=None, pf_method="hybrid", network=None, chord_iters=16, x_tol=1e-5, chord_precision=None
+):
     """Pure-functional EnvCore for the feeder (batched fast path).
 
     Default solver: ``pf_method="hybrid"`` -- 16 chord iterations with the
@@ -197,5 +199,6 @@ def make_core(dtype=None, pf_max_iter=None, pf_method="hybrid", network=None, ch
         max_iter=pf_max_iter,
         pf_method=pf_method,
         chord_iters=chord_iters,
+        chord_precision=chord_precision,
         x_tol=x_tol,
     )

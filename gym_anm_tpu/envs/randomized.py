@@ -99,6 +99,40 @@ def randomized_anm6easy_cores(
     return cores
 
 
+def randomized_feeder33_cores(
+    n_variants: int,
+    seed: int = 0,
+    r_sigma: float = 0.1,
+    x_sigma: float = 0.1,
+    b_sigma: float = 0.0,
+    rate_sigma: float = 0.0,
+    include_nominal: bool = True,
+    **make_core_kw,
+) -> list[EnvCore]:
+    """Build G feeder33 cores over independently perturbed 33-bus networks.
+
+    Same contract as :func:`randomized_anm6easy_cores`; each variant keeps
+    its own constant-folded Y-bus and flat-start Jacobian inverse, so the
+    hybrid chord+NR solver stays matmul-only per variant."""
+    from .feeder33 import make_core, _NETWORK
+
+    rng = np.random.default_rng(seed)
+    cores = []
+    for g in range(n_variants):
+        if g == 0 and include_nominal:
+            cores.append(make_core(**make_core_kw))
+        else:
+            cores.append(
+                make_core(
+                    network=perturb_branches(
+                        _NETWORK, rng, r_sigma=r_sigma, x_sigma=x_sigma, b_sigma=b_sigma, rate_sigma=rate_sigma
+                    ),
+                    **make_core_kw,
+                )
+            )
+    return cores
+
+
 class MultiBatchedEnv:
     """G grid variants x L lockstep lanes, stepped as one jitted program.
 
@@ -266,6 +300,22 @@ def ppo_trainer_for_fleet(cores: Sequence[EnvCore], lanes_per_variant: int, conf
 
     multi = MultiBatchedEnv(cores, lanes_per_variant, auto_reset=True)
     return PPOTrainer(
+        _FleetCoreFacade(multi),
+        batch_size=multi.G * multi.L,
+        config=config,
+        seed=seed,
+        env=_FleetEnvFacade(multi),
+    )
+
+
+def sac_trainer_for_fleet(cores: Sequence[EnvCore], lanes_per_variant: int, config=None, seed: int = 0):
+    """Build a :class:`~gym_anm_tpu.rl.sac.SACTrainer` whose collect phase
+    steps a domain-randomized fleet (replay transitions mix all G variants,
+    so the learned Q-function averages over grid-parameter uncertainty)."""
+    from ..rl.sac import SACTrainer
+
+    multi = MultiBatchedEnv(cores, lanes_per_variant, auto_reset=True)
+    return SACTrainer(
         _FleetCoreFacade(multi),
         batch_size=multi.G * multi.L,
         config=config,

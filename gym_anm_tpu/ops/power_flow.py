@@ -227,8 +227,10 @@ def flat_start_jacobian_inv(Y_re, Y_im):
     return jnp.linalg.inv(J0)
 
 
-@partial(jax.jit, static_argnames=("max_iter", "method", "chord_iters"))
-def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan", chord_iters=16, J0inv=None):
+@partial(jax.jit, static_argnames=("max_iter", "method", "chord_iters", "chord_precision"))
+def solve_pfe(
+    Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan", chord_iters=16, J0inv=None, chord_precision=None
+):
     """Newton-Raphson solve of the AC power-flow equations.
 
     Parameters
@@ -257,6 +259,14 @@ def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan", chord_i
         still converges to the same tolerance.
     chord_iters : int
         Number of chord iterations for ``method="hybrid"``.
+    chord_precision : {None, "highest", "default"} or jax.lax.Precision
+        Matmul precision of the chord update ``J0inv @ F`` (None uses the
+        module default :data:`CHORD_PRECISION`).  The chord phase is a
+        self-correcting fixed-point iteration whose mismatch is always
+        evaluated at HIGHEST precision, so "default" (bf16-truncated
+        1-pass MXU products) converges to the same fixed point -- measured
+        +28% end-to-end throughput on the 141-bus chord-only path with the
+        on-chip parity check unchanged (RESULTS.md round 2).
 
     Returns ``(v_re, v_im, diff, n_iter, converged)`` with the same batch
     layout as the inputs ([B, n] / [B] when batched).
@@ -278,6 +288,14 @@ def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan", chord_i
     F0 = _mismatch(vr0, vi0, ivr0, ivi0, pT, qT)
     diff0 = jnp.max(jnp.abs(F0), axis=0)  # [B]
 
+    if chord_precision is None:
+        chord_precision = CHORD_PRECISION
+    elif isinstance(chord_precision, str):
+        chord_precision = {
+            "highest": lax.Precision.HIGHEST,
+            "default": lax.Precision.DEFAULT,
+        }[chord_precision]
+
     n_chord = jnp.zeros((B,), dtype=jnp.int32)
     if method == "hybrid" and chord_iters > 0:
         if J0inv is None:
@@ -287,7 +305,7 @@ def solve_pfe(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan", chord_i
         def chord_body(c, _):
             theta, vm, F, diff, it = c
             active = diff > x_tol  # NaN freezes the lane
-            dx = jnp.dot(J0inv, F, precision=CHORD_PRECISION)  # [2m, B]
+            dx = jnp.dot(J0inv, F, precision=chord_precision)  # [2m, B]
             theta_n = theta - dx[:m]
             vm_n = vm - dx[m:]
             vr, vi = _construct_v(theta_n, vm_n)

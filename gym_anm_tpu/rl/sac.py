@@ -98,10 +98,17 @@ class Replay(NamedTuple):
 class SACTrainer:
     """Soft Actor-Critic over a :class:`BatchedEnv` (auto-reset)."""
 
-    def __init__(self, core: EnvCore, batch_size: int, config: SACConfig | None = None, seed: int = 0):
+    def __init__(self, core: EnvCore, batch_size: int, config: SACConfig | None = None, seed: int = 0, env=None):
+        """``env`` (optional) overrides the default single-grid
+        ``BatchedEnv`` with any object exposing ``reset(key)`` /
+        ``step_fn(es, actions [B, A], key)`` over flat ``[B, ...]`` outputs
+        — e.g. a domain-randomized fleet facade (see
+        :func:`gym_anm_tpu.envs.randomized.sac_trainer_for_fleet`), in which
+        case ``core`` supplies observations/bounds and ``batch_size`` is the
+        total lane count."""
         self.cfg = cfg = config or SACConfig()
         self.core = core
-        self.env = BatchedEnv(core, batch_size, auto_reset=True)
+        self.env = env if env is not None else BatchedEnv(core, batch_size, auto_reset=True)
         self.B = batch_size
         if cfg.buffer_capacity % batch_size:
             raise ValueError("buffer_capacity must be a multiple of batch_size (aligned ring writes)")

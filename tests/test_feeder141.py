@@ -73,3 +73,14 @@ def test_chord_only_matches_pure_nr():
     # Both solvers stop at mismatch <= 1e-5 with different final iterates,
     # so rewards agree to solver tolerance, not exactly.
     np.testing.assert_allclose(rews[0], rews[1], atol=5e-3)
+
+
+def test_chord_precision_default_resolution():
+    """The chord-dominated default solve opts into bf16 update products
+    (validated on-chip: +30% at identical parity, RESULTS.md round 2);
+    explicit overrides and non-chord methods are untouched."""
+    from gym_anm_tpu.envs.feeder141 import make_core
+
+    assert make_core().chord_precision == "default"
+    assert make_core(chord_precision="highest").chord_precision == "highest"
+    assert make_core(pf_method="scan").chord_precision is None
