@@ -47,7 +47,8 @@ def _report(algo, history, env_steps, elapsed, out):
         if i % max(1, len(history) // 25) == 0 or i == len(history) - 1:
             extra = f" term={m['terminated_frac']:.3f}" if "terminated_frac" in m else ""
             print(f"{algo} iter {i}: mean_reward={m['mean_reward']:+.3f}{extra}")
-    print(f"{algo}: {env_steps} env steps in {elapsed:.1f}s ({env_steps / elapsed:,.0f} steps/s incl. updates)")
+    rate = env_steps / elapsed
+    print(f"{algo}: {env_steps} env steps in {elapsed:.1f}s ({rate:,.0f} steps/s incl. updates)")
     if out:
         with open(out, "w") as f:
             json.dump({"algo": algo, "env_steps": env_steps, "elapsed_s": elapsed, "history": history}, f)

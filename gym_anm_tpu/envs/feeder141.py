@@ -148,7 +148,9 @@ class Feeder141Env(Feeder33Env):
         super().__init__(seed=seed, network=_NETWORK)
 
 
-def make_core(dtype=None, pf_max_iter=None, pf_method="hybrid", chord_iters=28, x_tol=None, chord_precision=None):
+def make_core(
+    dtype=None, pf_max_iter=None, pf_method="hybrid", chord_iters=28, x_tol=None, chord_precision=None
+):
     """Pure-functional EnvCore for the 141-bus network.
 
     Default solver: **chord-only** (``pf_method="hybrid"`` with a zero

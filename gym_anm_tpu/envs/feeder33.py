@@ -133,7 +133,13 @@ def _daily_factor(t):
 
 
 def make_core(
-    dtype=None, pf_max_iter=None, pf_method="hybrid", network=None, chord_iters=16, x_tol=1e-5, chord_precision=None
+    dtype=None,
+    pf_max_iter=None,
+    pf_method="hybrid",
+    network=None,
+    chord_iters=16,
+    x_tol=1e-5,
+    chord_precision=None,
 ):
     """Pure-functional EnvCore for the feeder (batched fast path).
 

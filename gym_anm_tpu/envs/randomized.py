@@ -125,7 +125,12 @@ def randomized_feeder33_cores(
             cores.append(
                 make_core(
                     network=perturb_branches(
-                        _NETWORK, rng, r_sigma=r_sigma, x_sigma=x_sigma, b_sigma=b_sigma, rate_sigma=rate_sigma
+                        _NETWORK,
+                        rng,
+                        r_sigma=r_sigma,
+                        x_sigma=x_sigma,
+                        b_sigma=b_sigma,
+                        rate_sigma=rate_sigma,
                     ),
                     **make_core_kw,
                 )

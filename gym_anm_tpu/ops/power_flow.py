@@ -229,7 +229,16 @@ def flat_start_jacobian_inv(Y_re, Y_im):
 
 @partial(jax.jit, static_argnames=("max_iter", "method", "chord_iters", "chord_precision"))
 def solve_pfe(
-    Y_re, Y_im, p, q, x_tol=1e-5, max_iter=100, method="scan", chord_iters=16, J0inv=None, chord_precision=None
+    Y_re,
+    Y_im,
+    p,
+    q,
+    x_tol=1e-5,
+    max_iter=100,
+    method="scan",
+    chord_iters=16,
+    J0inv=None,
+    chord_precision=None,
 ):
     """Newton-Raphson solve of the AC power-flow equations.
 

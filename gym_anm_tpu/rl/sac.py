@@ -98,7 +98,9 @@ class Replay(NamedTuple):
 class SACTrainer:
     """Soft Actor-Critic over a :class:`BatchedEnv` (auto-reset)."""
 
-    def __init__(self, core: EnvCore, batch_size: int, config: SACConfig | None = None, seed: int = 0, env=None):
+    def __init__(
+        self, core: EnvCore, batch_size: int, config: SACConfig | None = None, seed: int = 0, env=None
+    ):
         """``env`` (optional) overrides the default single-grid
         ``BatchedEnv`` with any object exposing ``reset(key)`` /
         ``step_fn(es, actions [B, A], key)`` over flat ``[B, ...]`` outputs
