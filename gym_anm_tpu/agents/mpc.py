@@ -43,6 +43,27 @@ import jax
 import jax.numpy as jnp
 
 
+
+def _trace_highest(f):
+    """Trace ``f`` under f32-exact matmuls.
+
+    TPU default matmul precision truncates inputs to bf16 (~0.4% relative).
+    The ADMM KKT factorizations and Schur complements here are one-shot
+    (not self-correcting): bf16 products can make the stage blocks
+    indefinite, at which point the Cholesky factor -- and every action --
+    is NaN (observed on-chip at horizons >= 10, scripts/mpc_bench.py,
+    round 2).  Pinning the trace to HIGHEST restores the f64-host
+    semantics; the same lesson as the one-shot einsums in
+    core/transition.py (docs/quirks.md).
+    """
+
+    def g(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return f(*args, **kwargs)
+
+    return g
+
+
 class MPCAgent:
     """Base class: build the parametric N-stage DC-OPF (abstract forecast()).
 
@@ -317,7 +338,7 @@ class MPCAgent:
             dual = jnp.max(jnp.abs(qj + Aj.T @ y + sigma * x))
             return x, z, y, pri, dual
 
-        self._admm_chunk = jax.jit(admm_chunk)
+        self._admm_chunk = jax.jit(_trace_highest(admm_chunk))
 
         def admm_batch_full(ls, us, x0, z0, y0, rho0, n_chunks, chunk_len, eps):
             """Fully on-device batched ADMM: ls/us [B, m] -> x [B, n].
@@ -386,7 +407,7 @@ class MPCAgent:
             )
             return x, z, y, rho, pri[-1], dual[-1]
 
-        self._admm_batch_full = jax.jit(admm_batch_full, static_argnums=(6, 7, 8))
+        self._admm_batch_full = jax.jit(_trace_highest(admm_batch_full), static_argnums=(6, 7, 8))
 
     def _factor(self, rho_vec):
         K = self._sigma * np.eye(self.nz) + (self._As.T * rho_vec) @ self._As

@@ -35,7 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .mpc import MPCAgent
+from .mpc import MPCAgent, _trace_highest
 from .mpc_constant import MPCAgentConstant
 from .mpc_perfect import MPCAgentPerfect
 
@@ -384,7 +384,7 @@ class MPCAgentBanded(MPCAgent):
             (x, z, y, rho_), (pri, dual) = jax.lax.scan(chunk, (x0, z0, y0, rho0), None, length=n_chunks)
             return x, z, y, rho_, pri[-1], dual[-1]
 
-        self._admm_batch_full_banded = jax.jit(admm_batch_full, static_argnums=(6, 7, 8))
+        self._admm_batch_full_banded = jax.jit(_trace_highest(admm_batch_full), static_argnums=(6, 7, 8))
 
     # ------------------------------------------------------------------
     def _admm_batch(self, lv, uv, eps=1e-8, max_chunks=16, chunk_len=None, warm=None, warm_chunks=2):
@@ -407,7 +407,9 @@ class MPCAgentBanded(MPCAgent):
             x0, z0, y0 = warm
             z0 = jnp.clip(z0, ls, us)
             chunks = warm_chunks
-        x, z, y, rho_, pri, dual = self._admm_batch_full_banded(ls, us, x0, z0, y0, rho0, chunks, chunk_len, eps)
+        x, z, y, rho_, pri, dual = self._admm_batch_full_banded(
+            ls, us, x0, z0, y0, rho0, chunks, chunk_len, eps
+        )
         if warm is not None:
             worst = float(np.max(np.asarray(jnp.maximum(pri, dual))))
             if not np.isfinite(worst):
