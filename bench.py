@@ -12,15 +12,154 @@ in the detail line.  Prints ONE JSON line:
      "vs_baseline": N / 1e6}
 
 Baseline target (BASELINE.md): >= 1M env-steps/s/chip at B=4096.
+
+Robustness: the benchmark opens with a tiny one-op TPU probe under a
+watchdog.  A killed TPU job wedges this runtime's server-side lease for up
+to ~90 min (docs/quirks.md; the BENCH_r02 failure), during which the first
+device op hangs or dies with an INTERNAL error that looks like a program
+bug.  The probe makes the two failure modes distinguishable in the
+artifact: "tpu_probe_timeout"/"tpu_probe_runtime_error" mean the runtime
+(not this program) is unhealthy.
 """
 
 import argparse
 import json
+import os
 import sys
+import threading
 import time
+import traceback
 
-import jax
-import jax.numpy as jnp
+import numpy as np
+
+
+def _emit_error(kind, exc=None, note=None):
+    """Print a parseable one-line JSON error artifact on stdout."""
+    err = {
+        "metric": "env-steps/s/chip",
+        "value": 0,
+        "unit": "steps/s",
+        "vs_baseline": 0.0,
+        "error": kind,
+    }
+    if note:
+        err["note"] = note
+    if exc is not None:
+        err["exception"] = repr(exc)[:500]
+    print(json.dumps(err))
+    sys.stdout.flush()
+
+
+class Watchdog:
+    """Emit a JSON error artifact and hard-exit if a phase takes too long.
+
+    A hung device op cannot be interrupted from Python; os._exit at least
+    leaves a distinguishable artifact instead of an opaque driver timeout.
+    """
+
+    def __init__(self):
+        self._deadline = None
+        self._phase = None
+        self._lock = threading.Lock()
+        t = threading.Thread(target=self._run, daemon=True)
+        t.start()
+
+    def arm(self, phase, timeout_s):
+        with self._lock:
+            self._phase = phase
+            self._deadline = time.time() + timeout_s
+
+    def disarm(self):
+        with self._lock:
+            self._deadline = None
+
+    def _run(self):
+        while True:
+            time.sleep(5)
+            with self._lock:
+                d, phase = self._deadline, self._phase
+            if d is not None and time.time() > d:
+                _emit_error(
+                    "watchdog_timeout",
+                    note="phase %r exceeded its budget; on this runtime a hang at the first "
+                    "device op usually means a previously killed TPU job wedged the "
+                    "server-side lease (~90 min to expire; docs/quirks.md), not a program bug."
+                    % phase,
+                )
+                os._exit(3)
+
+
+def tpu_probe(watchdog, timeout_s=600):
+    """One tiny device op + >=1-d transfer to verify the runtime is alive.
+
+    600 s budget: a healthy first op takes seconds, but a lease handoff
+    right after another session's exit can block for minutes (observed
+    2026-08-21: a probe 3 min after two clean bench exits blocked > 180 s);
+    only a genuinely wedged lease (~90 min) should trip this.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    watchdog.arm("tpu_probe", timeout_s)
+    try:
+        x = jnp.sum(jnp.ones((8, 8), jnp.float32), axis=0)
+        host = np.asarray(x)  # >=1-d transfer (0-d is unimplemented here)
+        assert float(host[0]) == 8.0
+    except Exception as e:
+        _emit_error(
+            "tpu_probe_runtime_error",
+            exc=e,
+            note="the trivial probe op failed before any benchmark code ran: the "
+            "runtime/lease is unhealthy (likely wedged by a previously killed job), "
+            "not the benchmark program.",
+        )
+        os._exit(2)
+    watchdog.disarm()
+
+
+def resolve_solver_path(core, batch_size, pf_method):
+    """Which implementation transition() will actually take for this config:
+    'pallas_nr' (fused NR kernel), 'fused_kernel' (whole-transition kernel),
+    or 'xla' (scan/while/chord solver).  Mirrors the dispatch conditions in
+    core/transition.py so the bench reports solver-dependent fields
+    honestly (e.g. chord_precision only applies on the 'xla' path)."""
+    import jax
+
+    from gym_anm_tpu.core.transition import pallas_nr_applies
+
+    spec = core.spec
+    if pf_method in ("fused", "fused_hybrid"):
+        from gym_anm_tpu.ops import pallas_step
+
+        if (jax.default_backend() == "tpu" or pallas_step.FORCE_INTERPRET) and isinstance(
+            spec.Y_re, np.ndarray
+        ):
+            soc = np.zeros((batch_size, spec.n_des), spec.dtype)
+            pl = np.zeros((batch_size, spec.n_load), spec.dtype)
+            if pallas_step.fused_transition_supported(spec, soc, pl) is not None:
+                return "fused_kernel"
+        pf_method = "pallas" if pf_method == "fused" else "hybrid"
+    if pf_method in ("pallas", "hybrid"):
+        p_in = np.zeros((batch_size, spec.n_bus - 1), spec.dtype)
+        if pallas_nr_applies(spec, p_in):
+            return "pallas_nr"
+    return "xla"
+
+
+def kernel_flops_per_env_step(core, solver_path, pf_method):
+    """Analytic FLOPs/lane/step executed inside Pallas custom calls (zero on
+    the pure-XLA path, where XLA's own cost analysis counts everything)."""
+    if solver_path == "pallas_nr":
+        from gym_anm_tpu.ops.pallas_nr import nr_flops_per_lane
+
+        chord = core.chord_iters if pf_method in ("hybrid", "fused_hybrid") else 0
+        return nr_flops_per_lane(core.spec.n_bus, core.max_iter, chord)
+    if solver_path == "fused_kernel":
+        from gym_anm_tpu.ops.pallas_step import fused_step_flops_per_lane
+
+        chord = core.chord_iters if pf_method == "fused_hybrid" else 0
+        return fused_step_flops_per_lane(core.spec, core.max_iter, chord)
+    return 0
 
 
 def main():
@@ -40,12 +179,37 @@ def main():
     ap.add_argument("--env", default="anm6easy", choices=["anm6easy", "feeder33", "feeder141"])
     ap.add_argument("--tail", type=int, default=None, help="NR iteration budget (tail for --pf hybrid)")
     ap.add_argument(
+        "--auto-reset",
+        action="store_true",
+        help="bench the RL-training configuration (BatchedEnv(auto_reset=True), as "
+        "PPO/SAC use): terminated lanes re-initialize in the same step, which runs "
+        "a full extra reset-transition per lane per step",
+    )
+    ap.add_argument(
+        "--auto-reset-mode",
+        default="pool",
+        choices=["pool", "step"],
+        help="auto-reset fresh-state strategy: 'pool' (one reset-transition per "
+        "scan segment, the BatchedEnv/trainer default) or 'step' (an independent "
+        "reset-transition every step -- the unamortized baseline)",
+    )
+    ap.add_argument(
         "--chord-precision",
         default=None,
         choices=["highest", "default"],
         help="matmul precision of the chord iteration's J0inv @ F product "
         "('default' = bf16-truncated inputs, 1-pass MXU; evaluated with the "
-        "parity check -- see ops/power_flow.CHORD_PRECISION)",
+        "parity check -- see ops/power_flow.CHORD_PRECISION). Only consumed "
+        "by the XLA chord solver (e.g. feeder141); the Pallas kernels use "
+        "exact-f32 VPU sums.",
+    )
+    ap.add_argument(
+        "--watchdog",
+        type=float,
+        default=2400.0,
+        help="hard self-timeout (s) for the compile+run phase; emits a JSON error "
+        "artifact instead of hanging into the driver's opaque kill (which would "
+        "wedge the TPU lease -- docs/quirks.md)",
     )
     check_group = ap.add_mutually_exclusive_group()
     check_group.add_argument(
@@ -54,16 +218,23 @@ def main():
         dest="check",
         default=None,
         help="run the on-chip trajectory-parity check (committed host-f64 "
-        "references replayed through each solver path; gym_anm_tpu/check.py)",
+        "references replayed through each solver path; gym_anm_tpu/check.py). "
+        "Default ON for every env: anm6easy sweeps all solver paths, the "
+        "feeders check only the benched solver (one extra compile).",
     )
     check_group.add_argument(
         "--no-check", action="store_false", dest="check", help="skip the parity check"
     )
     args = ap.parse_args()
     if args.check is None:
-        # Default: check the cheap-to-compile env only (the feeder variants
-        # cost minutes of tunnel compile per solver path).
-        args.check = args.env == "anm6easy"
+        args.check = True
+
+    watchdog = Watchdog()
+
+    import jax
+    import jax.numpy as jnp
+
+    tpu_probe(watchdog)
 
     from gym_anm_tpu.envs.batched import BatchedEnv
 
@@ -89,7 +260,12 @@ def main():
         # (feeder33's make_core auto-selects its own hybrid budget).
         kw["pf_max_iter"] = 6
     core = make_core(pf_method=args.pf, **kw)
-    env = BatchedEnv(core, batch_size=args.batch)
+    env = BatchedEnv(
+        core, batch_size=args.batch, auto_reset=args.auto_reset, auto_reset_mode=args.auto_reset_mode
+    )
+    solver_path = resolve_solver_path(core, args.batch, args.pf)
+
+    watchdog.arm("compile_and_run", args.watchdog)
 
     key = jax.random.PRNGKey(0)
     k_reset, k_run = jax.random.split(key)
@@ -103,17 +279,33 @@ def main():
     jax.block_until_ready(rew)
     compile_s = time.time() - t0
 
-    # FLOP accounting from XLA's cost analysis of the compiled program
-    # (algorithmic flops; unavailable on some PJRT runtimes -> null).
+    # FLOP accounting: XLA's cost analysis of the compiled program (blind to
+    # Pallas custom calls) + the analytic count of the kernel's work.
     flops_per_program = None
+    xla_flops = None
     try:
         ca = run.lower(es, k_run).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         if ca and "flops" in ca:
-            flops_per_program = float(ca["flops"])
+            xla_flops = float(ca["flops"])
     except Exception:
         pass
+    # Pallas kernel work per env step (analytic; ops/pallas_nr.py
+    # nr_flops_per_lane docstring).  auto_reset pool mode (the BatchedEnv
+    # default) runs ONE extra full reset-transition per scan segment -- the
+    # fresh-state pool -- so a T-step program executes T + 1 transitions;
+    # step mode runs a full extra reset-transition every step (2T).
+    if args.auto_reset:
+        transitions_per_step = (args.steps + 1) / args.steps if args.auto_reset_mode == "pool" else 2
+    else:
+        transitions_per_step = 1
+    kflops_step = kernel_flops_per_env_step(core, solver_path, args.pf) * transitions_per_step
+    kernel_flops = kflops_step * args.batch * args.steps
+    if xla_flops is not None:
+        flops_per_program = xla_flops + kernel_flops
+    elif kernel_flops:
+        flops_per_program = float(kernel_flops)
 
     if args.profile:
         jax.profiler.start_trace("/tmp/anm_bench_trace")
@@ -153,20 +345,23 @@ def main():
     sps = args.batch * args.steps * args.iters / elapsed
     # NB: transfer whole [T, B] f32 arrays (0-d transfers are unimplemented
     # on some PJRT backends) and reduce on host.
-    import numpy as np
-
     rew_h = np.asarray(rew)
     term_h = np.asarray(term)
     # Secondary metric (BASELINE.md): NR-solve iterations/s.  Every env step
-    # runs a fixed masked iteration budget, so iterations/s is exact.
+    # runs a fixed masked iteration budget (x transitions_per_step solves
+    # with auto_reset's once-per-segment pool), so iterations/s is exact.
     if args.pf in ("hybrid", "fused_hybrid"):
-        iters_per_step = core.chord_iters + core.max_iter
+        iters_per_step = (core.chord_iters + core.max_iter) * transitions_per_step
     else:
-        iters_per_step = core.max_iter
+        iters_per_step = core.max_iter * transitions_per_step
+    iters_per_step = round(iters_per_step, 3)
     detail = {
         "batch": args.batch,
         "scan_steps": args.steps,
         "iters": args.iters,
+        "auto_reset": bool(args.auto_reset),
+        "auto_reset_mode": args.auto_reset_mode if args.auto_reset else None,
+        "solver_path": solver_path,
         "elapsed_s": round(elapsed, 3),
         "blocking_steps_per_s": round(sps_blocking, 1),
         "compile_s": round(compile_s, 1),
@@ -176,38 +371,54 @@ def main():
         "nr_iterations_per_s": round(sps * iters_per_step, 1),
         "nr_iters_per_step": iters_per_step,
     }
-    if args.pf in ("hybrid", "fused_hybrid"):
-        # The core's resolved setting (feeder141 defaults to "default").
+    if args.pf in ("hybrid", "fused_hybrid") and solver_path == "xla":
+        # Only the XLA chord solver consumes chord_precision; the Pallas
+        # kernels' chord products are exact-f32 VPU sums regardless.
         detail["chord_precision"] = str(core.chord_precision or "highest")
     if flops_per_program is not None:
         # Achieved model FLOP/s over the pipelined steady state, and MFU
         # against the chip's bf16 peak (v5e: 197 TFLOP/s; f32-by-passes
         # runs at a fraction of this, so MFU here is a conservative
         # hardware-utilization bound, mainly useful to catch regressions
-        # in arithmetic intensity).
+        # in arithmetic intensity).  Includes the analytic count of the
+        # Pallas kernel's work (invisible to XLA cost analysis).
         achieved = flops_per_program * args.iters / elapsed
         detail["flops_per_env_step"] = round(flops_per_program / (args.batch * args.steps), 1)
         detail["achieved_tflops"] = round(achieved / 1e12, 3)
         detail["mfu_vs_bf16_peak"] = round(achieved / 1.97e14, 5)
-        if args.pf in ("pallas", "fused", "fused_hybrid"):
-            # Custom-call kernels are opaque to XLA cost analysis: these
-            # fields count only the ops *outside* the Pallas NR kernel.
-            # They are meaningful for --pf scan/hybrid (pure XLA paths,
-            # e.g. the feeder141 chord solver, where the MXU matmuls ARE
-            # the program).
-            detail["flops_note"] = "XLA-visible ops only; Pallas kernel flops not counted"
+        if xla_flops is not None:
+            detail["xla_flops_per_env_step"] = round(xla_flops / (args.batch * args.steps), 1)
+        if kflops_step:
+            detail["kernel_flops_per_env_step"] = round(float(kflops_step), 1)
+            detail["flops_note"] = "XLA cost analysis + analytic Pallas-kernel count"
+        elif solver_path == "xla" and xla_flops is not None:
+            # Cross-check: the same NR budget counted analytically, for
+            # comparison against XLA's own count of the scan/chord solver.
+            from gym_anm_tpu.ops.pallas_nr import nr_flops_per_lane
+
+            chord = core.chord_iters if args.pf in ("hybrid", "fused_hybrid") else 0
+            analytic = nr_flops_per_lane(core.spec.n_bus, core.max_iter, chord) * transitions_per_step
+            detail["nr_analytic_flops_per_env_step"] = round(float(analytic), 1)
 
     if args.check:
         # On-chip trajectory parity: replay the committed host-f64 fixed
-        # (s0, actions, vars) trajectory through every solver path for this
-        # env and compare states/rewards/termination step by step
+        # (s0, actions, vars) trajectory through solver paths for this env
+        # and compare states/rewards/termination step by step
         # (gym_anm_tpu/check.py).  The committed references are calibrated
         # so terminated_frac lands in [0.2, 0.8] (0.30 anm6easy / 0.52
         # feeder33) -- unlike the saturated throughput-loop signal above.
+        # anm6easy sweeps every solver path (cheap compiles); the feeders
+        # check the benched solver only (their compiles cost minutes each
+        # on the tunneled chip).
         from gym_anm_tpu import check as parity_check
 
-        parity = parity_check.run_check(args.env, make_core)
+        methods = None
+        if args.env in ("feeder33", "feeder141"):
+            methods = {args.pf: dict(kw)}
+        parity = parity_check.run_check(args.env, make_core, methods=methods)
         detail["parity"] = parity
+
+    watchdog.disarm()
 
     result = {
         "metric": "env-steps/s/chip",
@@ -222,4 +433,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception as e:
+        # The probe succeeded (or we'd have exited there), so this is a real
+        # program/runtime failure during the benchmark itself.  Emit a
+        # parseable artifact before re-raising for the driver's rc/tail.
+        _emit_error("bench_failure_after_probe_ok", exc=e)
+        traceback.print_exc()
+        sys.exit(1)

@@ -31,13 +31,15 @@ def run_ppo(iterations, n_variants, lanes, seed=0, out=None):
     return history
 
 
-def run_sac(iterations, n_variants, lanes, seed=0, out=None):
+def run_sac(iterations, n_variants, lanes, seed=0, out=None, warmup_rounds=2):
     cores = randomized_feeder33_cores(n_variants, seed=seed, r_sigma=0.15, x_sigma=0.15)
     trainer = sac_trainer_for_fleet(cores, lanes, config=SACConfig())
     t0 = time.time()
-    history = trainer.train(iterations, key=jax.random.PRNGKey(seed))
+    history = trainer.train(iterations, key=jax.random.PRNGKey(seed), warmup_rounds=warmup_rounds)
     elapsed = time.time() - t0
-    steps = iterations * n_variants * lanes * trainer.cfg.collect_steps
+    # The uniform-collect warmup rounds are real environment steps too;
+    # elapsed also includes first-iteration compile time (noted in _report).
+    steps = (iterations + warmup_rounds) * n_variants * lanes * trainer.cfg.collect_steps
     _report("sac", history, steps, elapsed, out)
     return history
 
@@ -48,7 +50,10 @@ def _report(algo, history, env_steps, elapsed, out):
             extra = f" term={m['terminated_frac']:.3f}" if "terminated_frac" in m else ""
             print(f"{algo} iter {i}: mean_reward={m['mean_reward']:+.3f}{extra}")
     rate = env_steps / elapsed
-    print(f"{algo}: {env_steps} env steps in {elapsed:.1f}s ({rate:,.0f} steps/s incl. updates)")
+    print(
+        f"{algo}: {env_steps} env steps in {elapsed:.1f}s "
+        f"({rate:,.0f} steps/s incl. updates, warmup and compile time)"
+    )
     if out:
         with open(out, "w") as f:
             json.dump({"algo": algo, "env_steps": env_steps, "elapsed_s": elapsed, "history": history}, f)

@@ -47,8 +47,10 @@ class MPCAgentBanded(MPCAgent):
     #: solve is O((nz + n_active)^3)); beyond it, accuracy is the ADMM
     #: residual tolerance.
     POLISH_MAX_NZ = 2048
-    #: build the dense (A, l, u) mirror -- needed for the polish and for
-    #: constraint-inspection tests -- up to a larger, memory-bound limit.
+    #: build the dense (A, l, u) mirror -- needed only for the polish -- up
+    #: to a larger, memory-bound limit.  Constraint inspection at any scale
+    #: goes through :meth:`apply_A_host` / :meth:`sparse_A` instead (e.g.
+    #: feeder141 horizon 20, nz = 9100 -- tests/test_mpc_banded.py).
     MIRROR_MAX_NZ = 4096
 
     # ------------------------------------------------------------------
@@ -463,6 +465,38 @@ class MPCAgentBanded(MPCAgent):
         if self.A is None or self.nz > self.POLISH_MAX_NZ:
             return x  # too large for the dense active-set polish
         return super()._polish(x, z, y, lv, uv, tol=tol)
+
+    # ------------------------------------------------------------------
+    # Scale-independent constraint inspection (no dense mirror needed).
+    # ------------------------------------------------------------------
+    def apply_A_host(self, x):
+        """Host-numpy ``A @ x`` from the banded stage blocks -- valid at any
+        problem size (the dense mirror stops at ``MIRROR_MAX_NZ``, so
+        constraint checks past that scale -- e.g. feeder141 horizon 20 --
+        go through this instead)."""
+        N, S, M = self.planning_steps, self.stage_size, self.M_rows
+        xs = np.asarray(x, dtype=np.float64).reshape(N, S)
+        y = xs @ np.asarray(self.A_diag, dtype=np.float64).T  # [N, M]
+        if N > 1:
+            y[1:] += xs[:-1] @ np.asarray(self.A_sub, dtype=np.float64).T
+        return y.reshape(-1)
+
+    def sparse_A(self):
+        """The full constraint matrix as ``scipy.sparse`` (block bi-diagonal
+        assembly of ``A_diag``/``A_sub``) for external LP oracles (HiGHS via
+        ``scipy.optimize.linprog``) at sizes where the dense mirror is
+        memory-infeasible."""
+        from scipy import sparse
+
+        N = self.planning_steps
+        Ad = sparse.csr_matrix(self.A_diag)
+        As = sparse.csr_matrix(self.A_sub)
+        blocks = [[None] * N for _ in range(N)]
+        for s in range(N):
+            blocks[s][s] = Ad
+            if s > 0:
+                blocks[s][s - 1] = As
+        return sparse.bmat(blocks, format="csr")
 
 
 class MPCAgentConstantBanded(MPCAgentConstant, MPCAgentBanded):

@@ -131,6 +131,7 @@ class EnvCore:
         chord_iters: int = 16,
         chord_precision=None,
         stochastic_vars: bool = True,
+        reset_attempts: int = 10,
     ):
         self.spec = spec
         self.K = int(K)
@@ -149,11 +150,15 @@ class EnvCore:
         # Matmul precision of the XLA chord phase's J0inv @ F update (None
         # -> ops.power_flow.CHORD_PRECISION); "default" trades bf16 input
         # truncation for 1-pass MXU products on chord-dominated solves
-        # (see solve_pfe docstring; +28% measured on feeder141).
+        # (see solve_pfe docstring; +30% measured on feeder141 (RESULTS.md round 2)).
         self.chord_precision = chord_precision
         # False => next_vars_fn ignores its PRNG key (deterministic process),
         # letting the batched path skip per-lane key splitting.
         self.stochastic_vars = stochastic_vars
+        # Default rejection-sampling budget for reset(); tasks whose initial
+        # states (virtually) always converge set 1, avoiding any retry
+        # compute (each retry round is a full masked reset-transition).
+        self.reset_attempts = int(reset_attempts)
 
         self.state_values = state_values_spec(spec, self.K)
         self.state_gather: GatherSpec = compile_gather(spec, self.state_values, self.K, aux_bounds)
@@ -375,35 +380,40 @@ class EnvCore:
             state_vec=self._compute_state_vec(sim, aux, terminated),
         )
 
-    def reset(self, key, batch_shape=(), attempts: int = 10) -> tuple[EnvState, ResetOut]:
+    def reset(self, key, batch_shape=(), attempts: Optional[int] = None) -> tuple[EnvState, ResetOut]:
         """Rejection-sample initial states until the load flow converges.
 
         The reference retries up to 100 times and raises on exhaustion
-        (anm_env.py:266-289); here the retry loop is a statically-unrolled
-        masked sweep of ``attempts`` rounds (straight-line program, no
-        while-loop) and exhaustion is reported per lane via ``failed``.
+        (anm_env.py:266-289); here attempt 1 runs inline and the remaining
+        ``attempts - 1`` rounds are a ``lax.scan`` of masked retries, so the
+        program traces at most **two** reset-transitions regardless of the
+        budget (a statically-unrolled sweep made the reset program ~10x
+        bigger and slower to compile).  Exhaustion is reported per lane via
+        ``failed``; ``attempts=None`` uses the task's calibrated
+        ``reset_attempts`` (1 for tasks whose initial states always
+        converge -- then no retry round is traced or executed at all).
         ``batch_shape`` resets that many lockstep environments at once.
         """
+        if attempts is None:
+            attempts = self.reset_attempts
         init_one = self.init_state_fn
         for _ in batch_shape:
             init_one = jax.vmap(init_one)
         keys = jax.random.split(key, (attempts,) + tuple(batch_shape))
 
-        es = None
-        ok = None
-        tries = None
-        for i in range(attempts):
-            es_i = self.env_state_from_s0(init_one(keys[i]))
-            ok_i = ~es_i.terminated
-            if es is None:
-                es, ok = es_i, ok_i
-                tries = jnp.ones(jnp.shape(ok), dtype=jnp.int32)
-            else:
-                retry = ~ok
+        es = self.env_state_from_s0(init_one(keys[0]))
+        tries = jnp.ones(jnp.shape(es.terminated), dtype=jnp.int32)
+        if attempts > 1:
+            def attempt(carry, k):
+                es, tries = carry
+                retry = es.terminated  # only still-failed lanes retry
+                es_i = self.env_state_from_s0(init_one(k))
                 es = _select(retry, es_i, es)
                 tries = tries + retry.astype(jnp.int32)
-                ok = ok | ok_i
-        failed = ~ok
+                return (es, tries), None
+
+            (es, tries), _ = jax.lax.scan(attempt, (es, tries), keys[1:])
+        failed = es.terminated
         return es, ResetOut(
             obs=self.observation(es), state_vec=self.state_vec(es), failed=failed, n_tries=tries
         )

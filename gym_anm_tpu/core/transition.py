@@ -78,6 +78,29 @@ def compute_branch_flows(spec: GridSpec, v_re, v_im):
     return if_re, if_im, it_re, it_im, p_from, q_from, p_to, q_to, s_max
 
 
+def pallas_tile_budget(n_bus: int):
+    """Lane tiles whose [2m, 2m+1, tile] elimination buffer fits ~4 MB VMEM."""
+    m2 = 2 * (n_bus - 1)
+    return [t for t in (512, 256, 128) if m2 * (m2 + 1) * t * 4 <= 4 * 2**20]
+
+
+def pallas_nr_applies(spec: GridSpec, p_in) -> bool:
+    """True when the fused Pallas NR kernel handles this solve: TPU backend,
+    a single [B, m] f32 batch with B a multiple of a VMEM-feasible lane
+    tile.  Shared by :func:`transition` and bench.py (which must know which
+    solver actually ran to report e.g. ``chord_precision`` honestly)."""
+    import jax
+
+    # No jnp.asarray: p_in may be a host probe array (bench.py) and must
+    # not become an eager device transfer; ndim/dtype exist on both.
+    return (
+        jax.default_backend() == "tpu"
+        and p_in.ndim == 2
+        and p_in.dtype == jnp.float32
+        and any(p_in.shape[0] % t == 0 for t in pallas_tile_budget(spec.n_bus))
+    )
+
+
 def _map_set_points(spec: GridSpec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen, P_set_des, Q_set_des):
     """Steps 1-3 of the transition: feasible injections + SoC update."""
     dt = spec.dtype
@@ -295,16 +318,19 @@ def transition(
     import jax
 
     p_in, q_in = bus_p[..., 1:], bus_q[..., 1:]
-    m2 = 2 * (spec.n_bus - 1)
-    # VMEM budget: keep the [2m, 2m+1, tile] elimination buffer under ~4 MB.
-    tile_budget = [t for t in (512, 256, 128) if m2 * (m2 + 1) * t * 4 <= 4 * 2**20]
-    use_pallas = (
-        pf_method in ("pallas", "hybrid")
-        and jax.default_backend() == "tpu"
-        and p_in.ndim == 2
-        and p_in.dtype == jnp.float32
-        and any(p_in.shape[0] % t == 0 for t in tile_budget)
-    )
+    use_pallas = pf_method in ("pallas", "hybrid") and pallas_nr_applies(spec, p_in)
+    if use_pallas and chord_precision is not None:
+        import warnings
+
+        # The Pallas kernel's chord products are exact-f32 broadcast-sums
+        # inside VMEM (ops/pallas_nr.py ``chord_body``); the XLA matmul
+        # precision knob does not reach them.
+        warnings.warn(
+            "chord_precision=%r has no effect on the Pallas NR path (its chord "
+            "products are exact-f32 VPU sums); it only applies to the XLA "
+            "hybrid/chord solver (e.g. feeder141, CPU, or --pf scan)." % (chord_precision,),
+            stacklevel=2,
+        )
     # The flat-start Jacobian inverse is a pure function of the (static,
     # NumPy) admittance matrix: invert on the host at trace time so it
     # folds into the program as a constant instead of an LU solve that
@@ -318,7 +344,7 @@ def transition(
         from ..ops.pallas_nr import solve_pfe_pallas
 
         B = p_in.shape[0]
-        tile = next(t for t in tile_budget if B % t == 0)
+        tile = next(t for t in pallas_tile_budget(spec.n_bus) if B % t == 0)
         v_re, v_im, _, _, converged = solve_pfe_pallas(
             spec.Y_re, spec.Y_im, p_in, q_in, x_tol=x_tol, max_iter=max_iter, tile=tile,
             chord_iters=chord_iters if pf_method == "hybrid" else 0, J0inv=J0inv,

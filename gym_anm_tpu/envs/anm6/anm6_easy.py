@@ -77,8 +77,12 @@ class ANM6Easy(ANM6):
 
         self.P_loads = _get_load_time_series()
         self.P_maxs = _get_gen_time_series()
-        self._P_loads_j = jnp.asarray(self.P_loads)
-        self._P_maxs_j = jnp.asarray(self.P_maxs)
+        # NB: numpy (not jnp) on purpose -- these tables are closed over by
+        # traced hooks and must fold into programs as host constants; eager
+        # device arrays force a device->host copy at lowering time (see
+        # CLAUDE.md; the BENCH_r02 failure mode).
+        self._P_loads_j = self.P_loads
+        self._P_maxs_j = self.P_maxs
 
     # ------------------------------------------------------------------
     # Host (reference-RNG-order) hooks.
@@ -167,8 +171,11 @@ def make_core(dtype=None, pf_max_iter=10, pf_method="pallas", network=None, chor
     if network is None:
         network = _canonical_network
     spec, _ = build_grid(network, delta_t=0.25, lamb=100, dtype=dtype)
-    P_loads = jnp.asarray(_get_load_time_series(), dtype=spec.dtype)
-    P_maxs = jnp.asarray(_get_gen_time_series(), dtype=spec.dtype)
+    # Host numpy constants (NOT eager device arrays): the task hooks close
+    # over these tables, so they must fold into traced programs without a
+    # device->host transfer at lowering time (CLAUDE.md rule).
+    P_loads = np.asarray(_get_load_time_series(), dtype=spec.dtype)
+    P_maxs = np.asarray(_get_gen_time_series(), dtype=spec.dtype)
     K = 1
     return EnvCore(
         spec,
@@ -183,6 +190,10 @@ def make_core(dtype=None, pf_max_iter=10, pf_method="pallas", network=None, chor
         pf_method=pf_method,
         chord_precision=chord_precision,
         stochastic_vars=False,  # deterministic table lookup by time-of-day
+        # Measured over 10k sampled initial states: every ANM6Easy s0
+        # converges on attempt 1 (the profiles are mild), so the reset
+        # program need not trace/execute any masked retry round.
+        reset_attempts=1,
     )
 
 
@@ -194,6 +205,10 @@ def anm6easy_init_state(key, P_loads, P_maxs):
     so individual samples differ from the NumPy-PCG64 host path.
     """
     n_dev, n_gen, n_des, K = 7, 2, 1, 1
+    # Host tables enter the trace here (fold as program constants; passing
+    # them pre-converted as eager device arrays is what broke BENCH_r02).
+    P_loads = jnp.asarray(P_loads)
+    P_maxs = jnp.asarray(P_maxs)
     k_t, k_q2, k_q4, k_soc = jrandom.split(key, 4)
     t0 = jrandom.randint(k_t, (), 0, 96)
 
@@ -220,6 +235,8 @@ def anm6easy_init_state(key, P_loads, P_maxs):
 
 def anm6easy_next_vars(s_t, P_loads, P_maxs):
     """Pure-functional ANM6Easy ``next_vars`` (anm6_easy.py:54-65)."""
+    P_loads = jnp.asarray(P_loads)
+    P_maxs = jnp.asarray(P_maxs)
     aux = jnp.mod(s_t[-1] + 1, 96).astype(jnp.int32)
     vars = jnp.concatenate(
         [P_loads[:, aux], P_maxs[:, aux], jnp.asarray(aux, dtype=P_loads.dtype).reshape(1)]

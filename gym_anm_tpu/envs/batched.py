@@ -47,29 +47,63 @@ class BatchedEnv:
         single-attempt reset (useful for RL training).  If False (default),
         terminated lanes stay in the absorbing zero state -- the reference's
         semantics (anm_env.py:365-367).
-    reset_attempts : int
+    auto_reset_mode : {"pool", "step"}
+        How auto-reset fresh states are produced inside rollout segments.
+        ``"pool"`` (default): one batch of B fresh converged states is
+        sampled per rollout segment (:meth:`fresh_states`) and terminated
+        lanes draw from it through a per-step randomly rotated gather --
+        amortizing the reset-transition (a full extra physics solve) from
+        every step to once per segment.  ``"step"``: an independent
+        single-attempt reset every step (i.i.d. fresh states, ~2x the
+        per-step transition cost).  Direct ``step``/``step_fn`` calls
+        without a ``fresh`` pool always use per-step resets.
+    reset_attempts : int | None
         Rejection-sampling rounds in :meth:`reset` (the reference's budget
-        is 100; ANM6Easy initial states virtually always converge on the
-        first attempt).
+        is 100).  None (default) uses the task's calibrated
+        ``core.reset_attempts`` -- 1 for tasks whose initial states always
+        converge (ANM6Easy), where retry rounds would only add masked
+        reset-transitions that never fire.
     """
 
-    def __init__(self, core: EnvCore, batch_size: int, auto_reset: bool = False, reset_attempts: int = 10):
+    def __init__(
+        self,
+        core: EnvCore,
+        batch_size: int,
+        auto_reset: bool = False,
+        reset_attempts: Optional[int] = None,
+        auto_reset_mode: str = "pool",
+    ):
         self.core = core
         self.batch_size = int(batch_size)
         self.auto_reset = bool(auto_reset)
-        self.reset_attempts = int(reset_attempts)
+        if auto_reset_mode not in ("pool", "step"):
+            raise ValueError("auto_reset_mode must be 'pool' or 'step'")
+        self.auto_reset_mode = auto_reset_mode
+        self.reset_attempts = int(core.reset_attempts if reset_attempts is None else reset_attempts)
         self._reset = jax.jit(
             lambda key: core.reset(key, batch_shape=(self.batch_size,), attempts=self.reset_attempts)
         )
         self._step = jax.jit(self.step_fn)
 
     # ------------------------------------------------------------------
-    def step_fn(self, es: EnvState, actions, key) -> tuple[EnvState, StepOut]:
+    def fresh_states(self, key) -> EnvState:
+        """One batch of B fresh (physics-reconciled) initial states -- the
+        auto-reset pool sampled once per rollout segment in ``"pool"`` mode.
+        Costs one full reset-transition (single attempt per lane)."""
+        keys = jax.random.split(key, self.batch_size)
+        s0 = jax.vmap(self.core.init_state_fn)(keys)
+        return self.core.env_state_from_s0(s0)
+
+    def step_fn(self, es: EnvState, actions, key, fresh: Optional[EnvState] = None) -> tuple[EnvState, StepOut]:
         """One batched step (jittable building block).
 
         ``actions [B, action_n]``; internal variables are sampled per lane
         from ``key``; with ``auto_reset`` terminated lanes are re-initialized
         in the same step (single attempt, keeping the batch lockstep).
+        ``fresh`` optionally supplies a pre-sampled pool of fresh states
+        (:meth:`fresh_states`): terminated lanes then draw from it through a
+        randomly rotated gather instead of running a full reset-transition
+        here -- the segment-amortized fast path rollouts and trainers use.
         """
         core = self.core
         B = self.batch_size
@@ -84,9 +118,17 @@ class BatchedEnv:
         if not self.auto_reset:
             return es_new, out
 
-        reset_keys = jax.random.split(k_reset, B)
-        s0 = jax.vmap(core.init_state_fn)(reset_keys)
-        es_fresh = core.env_state_from_s0(s0)
+        if fresh is not None:
+            # Rotate the pool by a random offset so a lane reborn twice in
+            # one segment (or two lanes reborn together) draw different
+            # entries; a gather is a relayout, not a physics solve.
+            off = jax.random.randint(k_reset, (), 0, B)
+            idx = (jnp.arange(B) + off) % B
+            es_fresh = jax.tree.map(lambda x: x[idx], fresh)
+        else:
+            reset_keys = jax.random.split(k_reset, B)
+            s0 = jax.vmap(core.init_state_fn)(reset_keys)
+            es_fresh = core.env_state_from_s0(s0)
         reset_now = out.terminated
         bsel = lambda a, b: jax.tree.map(
             lambda x, y: jnp.where(reset_now.reshape(reset_now.shape + (1,) * (x.ndim - 1)), x, y), a, b
@@ -166,8 +208,12 @@ class BatchedEnv:
         ``(obs, actions, reward, terminated)`` when a policy is given.
         """
         core = self.core
-        lo = jnp.asarray(core.action_low, dtype=core.spec.dtype)
-        hi = jnp.asarray(core.action_high, dtype=core.spec.dtype)
+        # numpy constants: closed over by the traced rollout, so they fold
+        # into the program without a device->host copy at lowering time.
+        import numpy as np
+
+        lo = np.asarray(core.action_low, dtype=core.spec.dtype)
+        hi = np.asarray(core.action_high, dtype=core.spec.dtype)
         B = self.batch_size
         need_obs = policy_fn is not None
         if lean is None:
@@ -179,24 +225,36 @@ class BatchedEnv:
 
         pol = policy_fn or uniform_policy
 
-        def body(carry, key):
-            es, policy_args = carry
-            if lean:
-                es = core.unlean(es)
-            k_act, k_step = jax.random.split(key)
-            obs = core.observation(es) if need_obs else None
-            actions = pol(policy_args, obs, k_act)
-            es, out = self.step_fn(es, actions, k_step)
-            if lean:
-                es = core.lean(es)
-            ys = (obs, actions, out.reward, out.terminated) if need_obs else (out.reward, out.terminated)
-            return (es, policy_args), ys
+        use_pool = self.auto_reset and self.auto_reset_mode == "pool"
+
+        def make_body(fresh):
+            def body(carry, key):
+                es, policy_args = carry
+                if lean:
+                    es = core.unlean(es)
+                k_act, k_step = jax.random.split(key)
+                obs = core.observation(es) if need_obs else None
+                actions = pol(policy_args, obs, k_act)
+                es, out = self.step_fn(es, actions, k_step, fresh=fresh)
+                if lean:
+                    es = core.lean(es)
+                ys = (obs, actions, out.reward, out.terminated) if need_obs else (out.reward, out.terminated)
+                return (es, policy_args), ys
+
+            return body
 
         def run(es, key, policy_args=None):
             if lean:
                 es = core.lean(es)
+            if use_pool:
+                # One reset-transition per segment instead of per step:
+                # terminated lanes draw from this pool inside the scan.
+                key, k_pool = jax.random.split(key)
+                fresh = self.fresh_states(k_pool)
+            else:
+                fresh = None
             keys = jax.random.split(key, n_steps)
-            (es, _), traj = jax.lax.scan(body, (es, policy_args), keys)
+            (es, _), traj = jax.lax.scan(make_body(fresh), (es, policy_args), keys)
             return es, traj
 
         return run

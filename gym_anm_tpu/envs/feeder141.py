@@ -191,13 +191,15 @@ def make_core(
         # Host-side dtype resolution (no eager device op).
         f32 = (dtype == _jnp.float32) if dtype is not None else not jax.config.jax_enable_x64
         x_tol = 3e-5 if (pf_method == "hybrid" and pf_max_iter == 0 and f32) else 1e-5
-    if chord_precision is None and pf_method == "hybrid":
-        # Chord-dominated solve: the J0inv @ F update products ARE the
-        # program, and the chord fixed point is precision-independent (the
-        # mismatch stays HIGHEST).  bf16-truncated 1-pass MXU products are
-        # +28% end-to-end at identical on-chip parity (bench.py --check,
-        # RESULTS.md round 2), so they are this network's default; pass
-        # chord_precision="highest" to get 6-pass f32-exact products back.
+    if chord_precision is None and pf_method == "hybrid" and pf_max_iter == 0:
+        # Chord-only solve (this env's default; the gate excludes untested
+        # hybrid-with-NR-tail configs): the J0inv @ F update products ARE
+        # the program, and the chord fixed point is precision-independent
+        # (the mismatch stays HIGHEST).  bf16-truncated 1-pass MXU products
+        # are +30% end-to-end at identical on-chip parity (bench.py --check,
+        # RESULTS.md round 2; docs/quirks.md #10), so they are this
+        # network's default; pass chord_precision="highest" to get 6-pass
+        # f32-exact products back.
         chord_precision = "default"
     return _feeder_make_core(
         dtype=dtype, pf_max_iter=pf_max_iter, pf_method=pf_method, network=_NETWORK, chord_iters=chord_iters,

@@ -162,9 +162,12 @@ def make_core(
     net = _NETWORK if network is None else network
     spec, _ = build_grid(net, delta_t=0.25, lamb=100, dtype=dtype)
     K = 1
-    load_scale = jnp.asarray(-np.asarray(spec.load_p_min) * spec.baseMVA, dtype=spec.dtype)
-    pv_scale = jnp.asarray(np.asarray(spec.gen_p_max) * spec.baseMVA, dtype=spec.dtype)
-    soc_max_mwh = jnp.asarray(np.asarray(spec.des_soc_max) * spec.baseMVA, dtype=spec.dtype)
+    # Host numpy constants (NOT eager device arrays): the hooks close over
+    # these, so they must fold into traced programs without a device->host
+    # transfer at lowering time (CLAUDE.md rule).
+    load_scale = np.asarray(-np.asarray(spec.load_p_min) * spec.baseMVA, dtype=spec.dtype)
+    pv_scale = np.asarray(np.asarray(spec.gen_p_max) * spec.baseMVA, dtype=spec.dtype)
+    soc_max_mwh = np.asarray(np.asarray(spec.des_soc_max) * spec.baseMVA, dtype=spec.dtype)
     load_pos = np.asarray(spec.load_pos)
     gen_pos = np.asarray(spec.gen_pos)
     n_dev, n_des, n_gen, n_load = spec.n_dev, spec.n_des, spec.n_gen, spec.n_load
@@ -207,4 +210,8 @@ def make_core(
         chord_iters=chord_iters,
         chord_precision=chord_precision,
         x_tol=x_tol,
+        # Feeder initial states (loads at 0.3-0.9x peak) essentially always
+        # converge; one masked retry round covers the tail without the old
+        # 10x statically-unrolled reset sweep.
+        reset_attempts=2,
     )

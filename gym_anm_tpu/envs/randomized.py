@@ -158,6 +158,8 @@ class MultiBatchedEnv:
         self.cores = list(cores)
         self.G = len(self.cores)
         self.L = int(lanes_per_variant)
+        self.auto_reset = bool(auto_reset)
+        self.auto_reset_mode = "pool"
         self.envs = [BatchedEnv(c, self.L, auto_reset=auto_reset) for c in self.cores]
         self.action_n = a0
         self.obs_n = o0
@@ -180,13 +182,19 @@ class MultiBatchedEnv:
             state_vec=jnp.stack([o.state_vec for o in outs]),
         )
 
-    def _step_fn(self, states, actions, key):
+    def fresh_states(self, key):
+        """Per-variant tuple of auto-reset pools (one B=L pool per variant);
+        see :meth:`BatchedEnv.fresh_states`."""
+        keys = jax.random.split(key, self.G)
+        return tuple(env.fresh_states(keys[g]) for g, env in enumerate(self.envs))
+
+    def _step_fn(self, states, actions, key, fresh=None):
         """``actions [G, L, action_n]``; per-variant internal vars are
         sampled from per-variant key splits."""
         keys = jax.random.split(key, self.G)
         new_states, outs = [], []
         for g, env in enumerate(self.envs):
-            es, out = env.step_fn(states[g], actions[g], keys[g])
+            es, out = env.step_fn(states[g], actions[g], keys[g], fresh=None if fresh is None else fresh[g])
             new_states.append(es)
             outs.append(out)
         stack = lambda f: jnp.stack([f(o) for o in outs])
@@ -211,10 +219,10 @@ class MultiBatchedEnv:
         states, out = self._reset(key)
         return states, BatchedStep(*(x.reshape((self.G * self.L,) + x.shape[2:]) for x in out))
 
-    def flat_step_fn(self, states, actions, key):
+    def flat_step_fn(self, states, actions, key, fresh=None):
         """Jittable step taking/returning flat ``[G * L, ...]`` arrays --
         the :class:`BatchedEnv`-shaped surface trainers expect."""
-        states, out = self._step_fn(states, actions.reshape(self.G, self.L, -1), key)
+        states, out = self._step_fn(states, actions.reshape(self.G, self.L, -1), key, fresh=fresh)
         return states, BatchedStep(*(x.reshape((self.G * self.L,) + x.shape[2:]) for x in out))
 
     def flat_observation(self, states):
@@ -231,8 +239,9 @@ class MultiBatchedEnv:
         stacked ``[T, G, L]``.
         """
         core0 = self.cores[0]
-        lo = jnp.asarray(core0.action_low, dtype=core0.spec.dtype)
-        hi = jnp.asarray(core0.action_high, dtype=core0.spec.dtype)
+        # numpy constants fold into the traced rollout without a D2H copy.
+        lo = np.asarray(core0.action_low, dtype=core0.spec.dtype)
+        hi = np.asarray(core0.action_high, dtype=core0.spec.dtype)
         need_obs = policy_fn is not None
 
         def uniform_policy(_, obs, key):
@@ -288,12 +297,17 @@ class _FleetEnvFacade:
 
     def __init__(self, multi: "MultiBatchedEnv"):
         self._multi = multi
+        self.auto_reset = multi.auto_reset
+        self.auto_reset_mode = multi.auto_reset_mode
 
     def reset(self, key):
         return self._multi.flat_reset(key)
 
-    def step_fn(self, states, actions, key):
-        return self._multi.flat_step_fn(states, actions, key)
+    def fresh_states(self, key):
+        return self._multi.fresh_states(key)
+
+    def step_fn(self, states, actions, key, fresh=None):
+        return self._multi.flat_step_fn(states, actions, key, fresh=fresh)
 
 
 def ppo_trainer_for_fleet(cores: Sequence[EnvCore], lanes_per_variant: int, config=None, seed: int = 0):

@@ -46,15 +46,18 @@ class ANMVectorEnv(VectorEnv):
         Number of lockstep environments.
     seed : int, optional
         Initial PRNG seed (can also be passed to :meth:`reset`).
-    reset_attempts : int
+    reset_attempts : int | None
         Rejection-sampling rounds for full resets (the reference budget is
-        100; autoreset of individual lanes uses a single attempt to keep
+        100; None uses the task's calibrated ``core.reset_attempts``;
+        autoreset of individual lanes uses a single attempt to keep
         the batch lockstep).
     """
 
     metadata = {"autoreset_mode": gymnasium.vector.AutoresetMode.NEXT_STEP}
 
-    def __init__(self, core: EnvCore, num_envs: int, seed: Optional[int] = None, reset_attempts: int = 10):
+    def __init__(
+        self, core: EnvCore, num_envs: int, seed: Optional[int] = None, reset_attempts: Optional[int] = None
+    ):
         super().__init__()
         if core.init_state_fn is None or core.next_vars_fn is None:
             raise ValueError("ANMVectorEnv needs an EnvCore with pure-JAX init_state_fn/next_vars_fn hooks")
@@ -78,7 +81,7 @@ class ANMVectorEnv(VectorEnv):
         self.action_space = batch_space(self.single_action_space, self.num_envs)
         self.observation_space = batch_space(self.single_observation_space, self.num_envs)
 
-        self._reset_attempts = int(reset_attempts)
+        self._reset_attempts = int(core.reset_attempts if reset_attempts is None else reset_attempts)
         self._key = jax.random.PRNGKey(0 if seed is None else seed)
         self._es: Optional[EnvState] = None
         self._needs_reset = None  # [B] bool: lanes to autoreset on the next step

@@ -192,6 +192,40 @@ def nr_core(Yre, Yim, J0inv, p, q, *, x_tol, max_iter, chord_iters):
     return vr, vi, ir, ii, diff, it
 
 
+def nr_flops_per_lane(n: int, max_iter: int, chord_iters: int = 0) -> int:
+    """Analytic executed-FLOP count of :func:`nr_core` per environment lane.
+
+    The kernel is opaque to XLA cost analysis (a custom call), so MFU
+    accounting must count its work statically.  Everything in ``nr_core``
+    has static shapes and fixed iteration budgets, so the count is exact up
+    to the conventions below (bench.py combines it with XLA's count of the
+    ops *outside* the kernel):
+
+    * masked/converged lanes still execute every op (lockstep SIMD), and
+      are counted -- this is the work the hardware performs;
+    * transcendentals (cos/sin/sqrt) and divides count as 1 flop;
+    * compares/selects (pivot masks, convergence masks) count as 0.
+
+    Per-lane breakdown (m = n-1 non-slack buses, nn = 2m system size):
+
+    * ``yv`` (I = YV, exact-f32 broadcast-sum): 8 n^2
+    * ``jacobian``: yvr/yvi 8 n^2 + w 4 n^2 + dSa 6 n^2 + u 8 n^2
+      + dSm 8 n^2  ~= 34 n^2
+    * ``solve`` (masked full-matrix GE, no shrinking active window):
+      per pivot k: one-hot row extract 2 nn (nn+1) + elimination update
+      2 nn (nn+1); over nn pivots ~= 4 nn^2 (nn+1); back-substitution nn^2
+    * chord iteration: J0inv @ F broadcast-sum 2 nn^2 + yv 8 n^2
+    * construct_v / mismatch / masked carries: O(n) terms folded into the
+      30 n / 20 n fudge constants.
+    """
+    m = n - 1
+    nn = 2 * m
+    nr_iter = 42 * n * n + 4 * nn * nn * (nn + 1) + nn * nn + 30 * n
+    chord_iter = 2 * nn * nn + 8 * n * n + 20 * n
+    setup = 8 * n * n + 10 * n
+    return setup + chord_iters * chord_iter + max_iter * nr_iter
+
+
 def _nr_tile_kernel(
     Yre_ref, Yim_ref, J0inv_ref, p_ref, q_ref, vr_ref, vi_ref, diff_ref, it_ref, *, n, x_tol, max_iter, chord_iters
 ):

@@ -419,6 +419,39 @@ def fused_tile_budget(spec, vmem_bytes=16 * 2**20):
     return [t for t in (512, 256, 128) if per_lane_words * 4 * t <= vmem_bytes]
 
 
+def fused_step_flops_per_lane(spec, max_iter: int, chord_iters: int = 0) -> int:
+    """Analytic executed-FLOP count of the whole-transition kernel per lane.
+
+    The kernel is a custom call, invisible to XLA cost analysis, so MFU
+    accounting counts it statically (same conventions as
+    :func:`gym_anm_tpu.ops.pallas_nr.nr_flops_per_lane`, which supplies the
+    dominant NR term).  The non-NR stages, per lane:
+
+    * exact polytope projection (``_project_lanes_in_kernel``): per
+      candidate a feasibility sweep of ``m_rows`` halfspaces (~4 flops
+      each) plus candidate construction and the running-min update
+      (~35); candidates = ``m_rows`` perpendicular feet +
+      ``m_rows (m_rows - 1)/2`` vertices, for each of C devices;
+    * SoC update: ~12 per storage unit;
+    * bus aggregation (2 incidence contractions): 4 n_bus n_dev;
+    * branch currents/flows/apparent power: ~44 per branch;
+    * reward terms (e_loss, V/branch penalties): ~8 n_bus + 6 n_branch.
+    """
+    from .pallas_nr import nr_flops_per_lane
+
+    n = spec.n_bus
+    C = spec.n_gen + spec.n_des
+    m_rows = np.asarray(spec.gen_G).shape[1]
+    n_cand = m_rows + m_rows * (m_rows - 1) // 2
+    proj = C * n_cand * (4 * m_rows + 35)
+    aggregate = 4 * n * spec.n_dev
+    flows = 44 * spec.n_branch
+    reward = 8 * n + 6 * spec.n_branch
+    soc = 12 * spec.n_des
+    nr = nr_flops_per_lane(n, max_iter, chord_iters)
+    return nr + proj + aggregate + flows + reward + soc
+
+
 def fused_transition_supported(spec, des_soc, P_load):
     """The lane tile to use, or None when the fused kernel doesn't apply
     (needs float32, 2-D ``[B, k]`` batches, tile-aligned B, and at least one

@@ -274,7 +274,7 @@ def solve_pfe(
         self-correcting fixed-point iteration whose mismatch is always
         evaluated at HIGHEST precision, so "default" (bf16-truncated
         1-pass MXU products) converges to the same fixed point -- measured
-        +28% end-to-end throughput on the 141-bus chord-only path with the
+        +30% end-to-end throughput on the 141-bus chord-only path with the
         on-chip parity check unchanged (RESULTS.md round 2).
 
     Returns ``(v_re, v_im, diff, n_iter, converged)`` with the same batch

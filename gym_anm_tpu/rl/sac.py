@@ -116,14 +116,16 @@ class SACTrainer:
             raise ValueError("buffer_capacity must be a multiple of batch_size (aligned ring writes)")
 
         dtype = core.spec.dtype
-        self.lo = jnp.asarray(core.action_low, dtype=dtype)
-        self.hi = jnp.asarray(core.action_high, dtype=dtype)
+        # numpy constants (closed over by jitted collect/update steps): fold
+        # into programs without a device->host copy at lowering time.
+        self.lo = np.asarray(core.action_low, dtype=dtype)
+        self.hi = np.asarray(core.action_high, dtype=dtype)
         low = np.asarray(core.obs_gather.low, dtype=np.float64)
         high = np.asarray(core.obs_gather.high, dtype=np.float64)
         centre = np.where(np.isfinite(low) & np.isfinite(high), (low + high) / 2, 0.0)
         scale = np.where(np.isfinite(low) & np.isfinite(high), np.maximum((high - low) / 2, 1e-3), 1.0)
-        self.obs_centre = jnp.asarray(centre, dtype=dtype)
-        self.obs_scale = jnp.asarray(scale, dtype=dtype)
+        self.obs_centre = np.asarray(centre, dtype=dtype)
+        self.obs_scale = np.asarray(scale, dtype=dtype)
 
         obs_n, act_n = core.obs_gather.n, core.action_n
         self.actor = Actor(action_n=act_n, hidden=tuple(cfg.hidden))
@@ -206,21 +208,39 @@ class SACTrainer:
         steps and storing transitions (uniform random actions if requested)."""
         env = self.env
         core = self.core
+        # Segment-amortized auto-reset (one fresh-state pool per collect
+        # segment instead of a reset-transition every step).
+        use_pool = (
+            getattr(env, "auto_reset", False)
+            and getattr(env, "auto_reset_mode", "step") == "pool"
+            and hasattr(env, "fresh_states")
+        )
 
-        def body(carry, key):
-            state, es, rb, obs = carry
-            k_act, k_step = jax.random.split(key)
-            if uniform:
-                u = jax.random.uniform(k_act, (self.B, core.action_n), core.spec.dtype) * 2.0 - 1.0
-            else:
-                u, _ = self._sample_u(state["actor"], obs, k_act)
-            es, out = env.step_fn(es, self._to_env_action(u), k_step)
-            rb = self._store_chunk(rb, obs, u, out.reward, out.obs, out.terminated)
-            return (state, es, rb, out.obs), (out.reward, out.terminated)
+        def make_body(fresh):
+            def body(carry, key):
+                state, es, rb, obs = carry
+                k_act, k_step = jax.random.split(key)
+                if uniform:
+                    u = jax.random.uniform(k_act, (self.B, core.action_n), core.spec.dtype) * 2.0 - 1.0
+                else:
+                    u, _ = self._sample_u(state["actor"], obs, k_act)
+                if use_pool:
+                    es, out = env.step_fn(es, self._to_env_action(u), k_step, fresh=fresh)
+                else:
+                    es, out = env.step_fn(es, self._to_env_action(u), k_step)
+                rb = self._store_chunk(rb, obs, u, out.reward, out.obs, out.terminated)
+                return (state, es, rb, out.obs), (out.reward, out.terminated)
+
+            return body
 
         def collect(state, es, rb, obs, key, n_steps):
+            if use_pool:
+                key, k_pool = jax.random.split(key)
+                fresh = env.fresh_states(k_pool)
+            else:
+                fresh = None
             keys = jax.random.split(key, n_steps)
-            (state, es, rb, obs), traj = jax.lax.scan(body, (state, es, rb, obs), keys)
+            (state, es, rb, obs), traj = jax.lax.scan(make_body(fresh), (state, es, rb, obs), keys)
             return es, rb, obs, traj
 
         return lambda state, es, rb, obs, key: collect(state, es, rb, obs, key, self.cfg.collect_steps)

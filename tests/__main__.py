@@ -1,0 +1,14 @@
+"""Run the test suite with ``python -m tests`` (the reference supports the
+same invocation via unittest discovery, /root/reference/tests/__main__.py:1-11).
+
+The suite is pytest-based, so delegate to pytest with the repo defaults
+(CPU backend, x64, 8 virtual devices -- see tests/conftest.py).
+"""
+
+import os
+import sys
+
+import pytest
+
+if __name__ == "__main__":
+    sys.exit(pytest.main([os.path.dirname(__file__)] + sys.argv[1:]))

@@ -122,6 +122,65 @@ def test_banded_feeder141_horizon5():
         assert not terminated
 
 
+def test_banded_feeder141_horizon20():
+    """Production scale: horizon 20 on the 141-bus network (nz = 9100, past
+    the dense-mirror limit).  Feasibility is checked through the banded
+    ``apply_A_host`` (no dense A exists at this size) and the objective is
+    cross-checked against the HiGHS optimum on the sparse assembly --
+    the scale anchor of the reference CI
+    (/root/reference/tests/test_dcopf_agent.py:57, horizon 20)."""
+    from scipy.optimize import linprog
+    from scipy import sparse
+
+    from gym_anm_tpu.envs.feeder141 import Feeder141Env
+
+    env = Feeder141Env()
+    env.reset(seed=11)
+    agent = MPCAgentConstantBanded(
+        env.simulator, env.action_space, env.gamma, safety_margin=0.96, planning_steps=20
+    )
+    assert agent.A is None and agent.nz > agent.MIRROR_MAX_NZ  # genuinely past the mirror
+    a = agent.act(env)
+    assert env.action_space.contains(a.astype(np.float64))
+    sol = agent.last_solution
+    Ax = agent.apply_A_host(sol["x"])
+    assert np.max(np.maximum(0.0, sol["lv"] - Ax)) < 1e-4
+    assert np.max(np.maximum(0.0, Ax - sol["uv"])) < 1e-4
+
+    # Objective parity vs the HiGHS oracle on the sparse assembly.
+    A = agent.sparse_A()
+    lv, uv = sol["lv"], sol["uv"]
+    eq = (lv == uv) & np.isfinite(lv)
+    ub = np.isfinite(uv) & ~eq
+    lb = np.isfinite(lv) & ~eq
+    res = linprog(
+        agent.q,
+        A_ub=sparse.vstack([A[ub], -A[lb]]),
+        b_ub=np.concatenate([uv[ub], -lv[lb]]),
+        A_eq=A[eq],
+        b_eq=lv[eq],
+        bounds=[(None, None)] * agent.nz,
+        method="highs",
+    )
+    assert res.status == 0
+    assert abs(agent.q @ sol["x"] - res.fun) < 1e-2 + 1e-3 * abs(res.fun)
+
+    _, r, terminated, _, _ = env.step(a)
+    assert not terminated
+
+
+def test_banded_apply_A_host_matches_dense_mirror():
+    """apply_A_host (the scale-independent banded A @ x) equals the dense
+    mirror's product where the mirror exists."""
+    env = _stepped_env()
+    agent = MPCAgentConstantBanded(env.simulator, env.action_space, env.gamma, planning_steps=3)
+    assert agent.A is not None
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=agent.nz)
+    np.testing.assert_allclose(agent.apply_A_host(x), agent.A @ x, atol=1e-12)
+    np.testing.assert_allclose(agent.sparse_A().toarray(), agent.A, atol=0)
+
+
 def test_banded_batched_matches_single():
     env = _stepped_env()
     agent = MPCAgentConstantBanded(env.simulator, env.action_space, env.gamma, planning_steps=4)
