@@ -153,12 +153,12 @@ def kernel_flops_per_env_step(core, solver_path, pf_method):
         from gym_anm_tpu.ops.pallas_nr import nr_flops_per_lane
 
         chord = core.chord_iters if pf_method in ("hybrid", "fused_hybrid") else 0
-        return nr_flops_per_lane(core.spec.n_bus, core.max_iter, chord)
+        return nr_flops_per_lane(core.spec.n_bus, core.max_iter, chord, pivot=core.nr_pivot)
     if solver_path == "fused_kernel":
         from gym_anm_tpu.ops.pallas_step import fused_step_flops_per_lane
 
         chord = core.chord_iters if pf_method == "fused_hybrid" else 0
-        return fused_step_flops_per_lane(core.spec, core.max_iter, chord)
+        return fused_step_flops_per_lane(core.spec, core.max_iter, chord, pivot=core.nr_pivot)
     return 0
 
 
@@ -172,12 +172,30 @@ def main():
     ap.add_argument(
         "--pf",
         default=None,
-        choices=["pallas", "scan", "hybrid", "fused", "fused_hybrid"],
-        help="NR solver path ('fused*' = whole-transition Pallas kernel); "
+        choices=["pallas", "scan", "hybrid", "xla_hybrid", "fused", "fused_hybrid"],
+        help="NR solver path ('fused*' = whole-transition Pallas kernel; "
+        "'xla_hybrid' = the chord(+tail) solver pinned to the XLA/MXU path); "
         "default: the env's calibrated solver (pallas for anm6easy, hybrid for feeder33)",
     )
     ap.add_argument("--env", default="anm6easy", choices=["anm6easy", "feeder33", "feeder141"])
     ap.add_argument("--tail", type=int, default=None, help="NR iteration budget (tail for --pf hybrid)")
+    ap.add_argument(
+        "--chord-iters", type=int, default=None, help="chord iteration budget for hybrid solvers"
+    )
+    pivot_group = ap.add_mutually_exclusive_group()
+    pivot_group.add_argument(
+        "--pivot",
+        action="store_true",
+        dest="pivot",
+        default=None,
+        help="force the reference-faithful partially-pivoted Pallas NR elimination "
+        "(the default is pivot-free: ~2x cheaper elimination, +34%%/+107%% measured "
+        "end-to-end on anm6easy/feeder33, correctness guarded by the mismatch "
+        "criterion and verified by the parity check)",
+    )
+    pivot_group.add_argument(
+        "--no-pivot", action="store_false", dest="pivot", help="force the pivot-free elimination"
+    )
     ap.add_argument(
         "--auto-reset",
         action="store_true",
@@ -253,9 +271,13 @@ def main():
     kw = {}
     if args.chord_precision is not None:
         kw["chord_precision"] = args.chord_precision
+    if args.chord_iters is not None:
+        kw["chord_iters"] = args.chord_iters
+    if args.pivot is not None:
+        kw["nr_pivot"] = bool(args.pivot)
     if args.tail is not None:
         kw["pf_max_iter"] = args.tail
-    elif args.pf in ("hybrid", "fused_hybrid") and args.env == "anm6easy":
+    elif args.pf in ("hybrid", "xla_hybrid", "fused_hybrid") and args.env == "anm6easy":
         # Calibrated true-NR tail after the 16-iteration chord phase
         # (feeder33's make_core auto-selects its own hybrid budget).
         kw["pf_max_iter"] = 6
@@ -350,7 +372,7 @@ def main():
     # Secondary metric (BASELINE.md): NR-solve iterations/s.  Every env step
     # runs a fixed masked iteration budget (x transitions_per_step solves
     # with auto_reset's once-per-segment pool), so iterations/s is exact.
-    if args.pf in ("hybrid", "fused_hybrid"):
+    if args.pf in ("hybrid", "xla_hybrid", "fused_hybrid"):
         iters_per_step = (core.chord_iters + core.max_iter) * transitions_per_step
     else:
         iters_per_step = core.max_iter * transitions_per_step
@@ -362,6 +384,7 @@ def main():
         "auto_reset": bool(args.auto_reset),
         "auto_reset_mode": args.auto_reset_mode if args.auto_reset else None,
         "solver_path": solver_path,
+        "nr_pivot": bool(core.nr_pivot),
         "elapsed_s": round(elapsed, 3),
         "blocking_steps_per_s": round(sps_blocking, 1),
         "compile_s": round(compile_s, 1),
@@ -371,7 +394,7 @@ def main():
         "nr_iterations_per_s": round(sps * iters_per_step, 1),
         "nr_iters_per_step": iters_per_step,
     }
-    if args.pf in ("hybrid", "fused_hybrid") and solver_path == "xla":
+    if args.pf in ("hybrid", "xla_hybrid", "fused_hybrid") and solver_path == "xla":
         # Only the XLA chord solver consumes chord_precision; the Pallas
         # kernels' chord products are exact-f32 VPU sums regardless.
         detail["chord_precision"] = str(core.chord_precision or "highest")
@@ -396,7 +419,7 @@ def main():
             # comparison against XLA's own count of the scan/chord solver.
             from gym_anm_tpu.ops.pallas_nr import nr_flops_per_lane
 
-            chord = core.chord_iters if args.pf in ("hybrid", "fused_hybrid") else 0
+            chord = core.chord_iters if args.pf in ("hybrid", "xla_hybrid", "fused_hybrid") else 0
             analytic = nr_flops_per_lane(core.spec.n_bus, core.max_iter, chord) * transitions_per_step
             detail["nr_analytic_flops_per_env_step"] = round(float(analytic), 1)
 
@@ -413,7 +436,11 @@ def main():
         from gym_anm_tpu import check as parity_check
 
         methods = None
-        if args.env in ("feeder33", "feeder141"):
+        if args.env in ("feeder33", "feeder141") or kw:
+            # Feeders: check only the benched solver (compiles cost minutes).
+            # Any env with non-default solver kwargs (--tail/--chord-iters/
+            # --no-pivot/--chord-precision): check the exact benched config,
+            # not the default sweep.
             methods = {args.pf: dict(kw)}
         parity = parity_check.run_check(args.env, make_core, methods=methods)
         detail["parity"] = parity

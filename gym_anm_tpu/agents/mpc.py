@@ -586,6 +586,10 @@ class MPCAgent:
             warm = None
         x, carry = self._admm_batch(lv, uv, warm=warm)
         self._warm_carry = carry if warm_start else None
+        # Full per-lane solutions for inspection / external-oracle
+        # cross-checks (e.g. scripts/mpc_bench.py --verify): x [B, nz] with
+        # the per-lane bounds actually solved against.
+        self.last_batch_solution = {"x": x, "lv": lv, "uv": uv}
         o = self._off0
         P = x[:, o["P"] : o["P"] + self.n_dev]
         gp = [self.dev_id_mapping[d] for d in self.non_slack_gen_ids]

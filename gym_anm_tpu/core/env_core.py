@@ -132,6 +132,7 @@ class EnvCore:
         chord_precision=None,
         stochastic_vars: bool = True,
         reset_attempts: int = 10,
+        nr_pivot: bool = False,
     ):
         self.spec = spec
         self.K = int(K)
@@ -152,6 +153,13 @@ class EnvCore:
         # truncation for 1-pass MXU products on chord-dominated solves
         # (see solve_pfe docstring; +30% measured on feeder141 (RESULTS.md round 2)).
         self.chord_precision = chord_precision
+        # Partial pivoting in the Pallas NR elimination.  False (default)
+        # halves the elimination cost (+34% ANM6Easy / +107% feeder33
+        # end-to-end, zero termination mismatches on the on-chip parity
+        # check -- RESULTS.md round 3); correctness stays guarded by the
+        # mismatch criterion (ops/pallas_nr.nr_core).  True restores the
+        # reference-faithful pivoted elimination (scipy spsolve pivots).
+        self.nr_pivot = bool(nr_pivot)
         # False => next_vars_fn ignores its PRNG key (deterministic process),
         # letting the batched path skip per-lane key splitting.
         self.stochastic_vars = stochastic_vars
@@ -302,6 +310,7 @@ class EnvCore:
             pf_method=self.pf_method,
             chord_iters=self.chord_iters,
             chord_precision=self.chord_precision,
+            nr_pivot=self.nr_pivot,
         )
 
         c1, c2 = self.costs_clipping
@@ -368,6 +377,7 @@ class EnvCore:
             pf_method=self.pf_method,
             chord_iters=self.chord_iters,
             chord_precision=self.chord_precision,
+            nr_pivot=self.nr_pivot,
         )
         aux = s0[..., 2 * spec.n_dev + spec.n_des + spec.n_gen :]
         terminated = ~sim.pfe_converged

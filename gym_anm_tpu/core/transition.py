@@ -216,6 +216,7 @@ def transition(
     pf_method="scan",
     chord_iters=16,
     chord_precision=None,
+    nr_pivot=False,
 ) -> TransitionResult:
     """One physics transition (simulator.py:464-537). All inputs in p.u.
 
@@ -231,14 +232,17 @@ def transition(
         Generator set-points.
     P_set_des, Q_set_des : [n_des]
         Storage set-points.
-    pf_method : {"scan", "while", "pallas", "hybrid", "fused", "fused_hybrid"}
+    pf_method : {"scan", "while", "pallas", "hybrid", "xla_hybrid", "fused", "fused_hybrid"}
         NR loop style; "hybrid" prepends ``chord_iters`` constant-Jacobian
         chord iterations (matmul-only) before ``max_iter`` true-NR
-        iterations, on both the Pallas and XLA paths.  "fused" /
-        "fused_hybrid" run the *entire* transition (projection, SoC, bus
-        aggregation, NR, branch flows, reward terms) as one Pallas kernel
-        (ops/pallas_step.py) on the TPU fast path -- identical math,
-        falling back to "pallas" / "hybrid" when the kernel doesn't apply.
+        iterations, on both the Pallas and XLA paths; "xla_hybrid" is the
+        same solver pinned to the XLA path (MXU chord matmuls, honors
+        ``chord_precision``) even where the Pallas kernel applies.
+        "fused" / "fused_hybrid" run the *entire* transition (projection,
+        SoC, bus aggregation, NR, branch flows, reward terms) as one
+        Pallas kernel (ops/pallas_step.py) on the TPU fast path --
+        identical math, falling back to "pallas" / "hybrid" when the
+        kernel doesn't apply.
     """
     import jax
 
@@ -268,6 +272,7 @@ def transition(
                 x_tol=x_tol,
                 max_iter=max_iter,
                 chord_iters=chord_iters if pf_method == "fused_hybrid" else 0,
+                pivot=nr_pivot,
             )
             diff = o.diff[..., 0]
             converged = diff <= x_tol
@@ -347,10 +352,15 @@ def transition(
         tile = next(t for t in pallas_tile_budget(spec.n_bus) if B % t == 0)
         v_re, v_im, _, _, converged = solve_pfe_pallas(
             spec.Y_re, spec.Y_im, p_in, q_in, x_tol=x_tol, max_iter=max_iter, tile=tile,
-            chord_iters=chord_iters if pf_method == "hybrid" else 0, J0inv=J0inv,
+            chord_iters=chord_iters if pf_method == "hybrid" else 0, J0inv=J0inv, pivot=nr_pivot,
         )
     else:
-        method = {"pallas": "scan"}.get(pf_method, pf_method)
+        # "xla_hybrid" = the chord(+NR-tail) solver forced onto the XLA path
+        # even where the Pallas kernel applies: its chord update is a real
+        # MXU matmul ([2m, 2m] x [2m, B], optionally bf16 via
+        # chord_precision) instead of the kernel's exact-f32 VPU sums --
+        # the faster choice for chord-dominated solves at >= ~33 buses.
+        method = {"pallas": "scan", "xla_hybrid": "hybrid"}.get(pf_method, pf_method)
         v_re, v_im, _, _, converged = solve_pfe(
             spec.Y_re, spec.Y_im, p_in, q_in, x_tol=x_tol, max_iter=max_iter, method=method,
             chord_iters=chord_iters, J0inv=J0inv, chord_precision=chord_precision,
@@ -405,7 +415,8 @@ def transition(
 
 
 def sim_reset(
-    spec: GridSpec, s0, x_tol=1e-5, max_iter=100, pf_method="scan", chord_iters=16, chord_precision=None
+    spec: GridSpec, s0, x_tol=1e-5, max_iter=100, pf_method="scan", chord_iters=16, chord_precision=None,
+    nr_pivot=False,
 ) -> SimState:
     """Apply an initial state vector (reference layout, MW/MVAr/MWh units)
     to the grid (simulator.py:225-293).
@@ -439,6 +450,7 @@ def sim_reset(
         pf_method=pf_method,
         chord_iters=chord_iters,
         chord_precision=chord_precision,
+        nr_pivot=nr_pivot,
     )
     # Override the SoC with the requested initial value (simulator.py:284-288;
     # note the reference does not clip it here).

@@ -146,7 +146,10 @@ class ANM6Easy(ANM6):
         return anm6easy_next_vars(s_t, self._P_loads_j, self._P_maxs_j)
 
 
-def make_core(dtype=None, pf_max_iter=10, pf_method="pallas", network=None, chord_precision=None):
+def make_core(
+    dtype=None, pf_max_iter=10, pf_method="pallas", network=None, chord_precision=None, chord_iters=16,
+    nr_pivot=False,
+):
     """Build the pure-functional ANM6Easy :class:`EnvCore` (no Gymnasium
     adapter, no host hooks) -- the batched/vmapped fast path used by
     :class:`gym_anm_tpu.envs.batched.BatchedEnv` and the benchmarks.
@@ -188,7 +191,9 @@ def make_core(dtype=None, pf_max_iter=10, pf_method="pallas", network=None, chor
         next_vars_fn=lambda s, key: anm6easy_next_vars(s, P_loads, P_maxs),
         max_iter=pf_max_iter,
         pf_method=pf_method,
+        chord_iters=chord_iters,
         chord_precision=chord_precision,
+        nr_pivot=nr_pivot,
         stochastic_vars=False,  # deterministic table lookup by time-of-day
         # Measured over 10k sampled initial states: every ANM6Easy s0
         # converges on attempt 1 (the profiles are mild), so the reset

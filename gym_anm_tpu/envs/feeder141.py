@@ -149,7 +149,8 @@ class Feeder141Env(Feeder33Env):
 
 
 def make_core(
-    dtype=None, pf_max_iter=None, pf_method="hybrid", chord_iters=28, x_tol=None, chord_precision=None
+    dtype=None, pf_max_iter=None, pf_method="hybrid", chord_iters=28, x_tol=None, chord_precision=None,
+    nr_pivot=False,
 ):
     """Pure-functional EnvCore for the 141-bus network.
 
@@ -177,7 +178,7 @@ def make_core(
             "Jacobian tiles exceed VMEM. Use 'hybrid' (default, chord-only) or 'scan'."
         )
     if pf_max_iter is None:
-        pf_max_iter = 0 if pf_method == "hybrid" else 6
+        pf_max_iter = 0 if pf_method in ("hybrid", "xla_hybrid") else 6
     if x_tol is None:
         # The chord iteration plateaus just above the reference's 1e-5 on
         # marginal (full-load) lanes in float32 -- TPU rounding then flags
@@ -190,8 +191,8 @@ def make_core(
 
         # Host-side dtype resolution (no eager device op).
         f32 = (dtype == _jnp.float32) if dtype is not None else not jax.config.jax_enable_x64
-        x_tol = 3e-5 if (pf_method == "hybrid" and pf_max_iter == 0 and f32) else 1e-5
-    if chord_precision is None and pf_method == "hybrid" and pf_max_iter == 0:
+        x_tol = 3e-5 if (pf_method in ("hybrid", "xla_hybrid") and pf_max_iter == 0 and f32) else 1e-5
+    if chord_precision is None and pf_method in ("hybrid", "xla_hybrid") and pf_max_iter == 0:
         # Chord-only solve (this env's default; the gate excludes untested
         # hybrid-with-NR-tail configs): the J0inv @ F update products ARE
         # the program, and the chord fixed point is precision-independent
@@ -203,5 +204,5 @@ def make_core(
         chord_precision = "default"
     return _feeder_make_core(
         dtype=dtype, pf_max_iter=pf_max_iter, pf_method=pf_method, network=_NETWORK, chord_iters=chord_iters,
-        x_tol=x_tol, chord_precision=chord_precision,
+        x_tol=x_tol, chord_precision=chord_precision, nr_pivot=nr_pivot,
     )

@@ -140,6 +140,7 @@ def make_core(
     chord_iters=16,
     x_tol=1e-5,
     chord_precision=None,
+    nr_pivot=False,
 ):
     """Pure-functional EnvCore for the feeder (batched fast path).
 
@@ -154,7 +155,7 @@ def make_core(
     (tail) for hybrid, 15 for pure NR (measured flat-start p100 = 6, with
     margin)."""
     if pf_max_iter is None:
-        pf_max_iter = 6 if pf_method in ("hybrid", "fused_hybrid") else 15
+        pf_max_iter = 6 if pf_method in ("hybrid", "xla_hybrid", "fused_hybrid") else 15
     from ..core.env_core import EnvCore
     from ..core.grid import build_grid
     from ..core.obs import state_values_spec
@@ -210,6 +211,7 @@ def make_core(
         chord_iters=chord_iters,
         chord_precision=chord_precision,
         x_tol=x_tol,
+        nr_pivot=nr_pivot,
         # Feeder initial states (loads at 0.3-0.9x peak) essentially always
         # converge; one masked retry round covers the tail without the old
         # 10x statically-unrolled reset sweep.

@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE = 512  # environments per grid program (multiple of 128)
 
 
-def nr_core(Yre, Yim, J0inv, p, q, *, x_tol, max_iter, chord_iters):
+def nr_core(Yre, Yim, J0inv, p, q, *, x_tol, max_iter, chord_iters, pivot=False):
     """Lane-major fixed-iteration NR solve on VMEM-resident arrays.
 
     Parameters: ``Yre/Yim [n, n]``, ``J0inv [2m, 2m]`` (used when
@@ -43,6 +43,19 @@ def nr_core(Yre, Yim, J0inv, p, q, *, x_tol, max_iter, chord_iters):
     per-lane iteration count.  The currents are carried consistently with
     the masked iterate updates, so ``(vr, vi, ir, ii)`` always describe the
     same (last accepted) operating point.
+
+    ``pivot=False`` (default) runs the Gaussian elimination without
+    partial pivoting (no per-column argmax / one-hot row swaps), ~halving
+    the elimination cost -- measured +34% end-to-end on ANM6Easy and +107%
+    on feeder33 with zero termination mismatches on the on-chip parity
+    check (RESULTS.md round 3).  ``pivot=True`` is the reference-faithful
+    mode (scipy ``spsolve`` pivots).  Power-flow Jacobians of distribution feeders are strongly
+    diagonally dominant away from collapse, and correctness is *guarded by
+    the mismatch criterion*: a lane whose pivot-free solve goes bad keeps a
+    large (or NaN) true mismatch and either takes more iterations or is
+    flagged unconverged -- it can never be reported converged with a wrong
+    voltage.  Semantics equivalence vs the pivoted solver is measured by
+    the on-chip parity check (bench.py --check / --no-pivot).
     """
     n = Yre.shape[0]
     m = n - 1
@@ -101,17 +114,18 @@ def nr_core(Yre, Yim, J0inv, p, q, *, x_tol, max_iter, chord_iters):
         # Mosaic has no scatter: static row writes become where() with a
         # row-index mask.
         for k in range(nn):
-            is_k = (rr == k)[:, None, :]
-            col = jnp.abs(Ab[:, k, :])
-            col = jnp.where(rr >= k, col, -jnp.inf)
-            piv = jnp.argmax(col, axis=0)  # [TB]
-            onehot = (rr == piv[None, :]).astype(fdt)  # [nn, TB]
-            row_piv = jnp.sum(onehot[:, None, :] * Ab, axis=0)  # [nn+1, TB]
-            row_k = Ab[k]
-            Ab = jnp.where(onehot[:, None, :] > 0, row_k[None, :, :], Ab)
-            Ab = jnp.where(is_k, row_piv[None, :, :], Ab)
-            pivot = Ab[k, k, :]
-            factor = Ab[:, k, :] / pivot[None, :]
+            if pivot:
+                is_k = (rr == k)[:, None, :]
+                col = jnp.abs(Ab[:, k, :])
+                col = jnp.where(rr >= k, col, -jnp.inf)
+                piv = jnp.argmax(col, axis=0)  # [TB]
+                onehot = (rr == piv[None, :]).astype(fdt)  # [nn, TB]
+                row_piv = jnp.sum(onehot[:, None, :] * Ab, axis=0)  # [nn+1, TB]
+                row_k = Ab[k]
+                Ab = jnp.where(onehot[:, None, :] > 0, row_k[None, :, :], Ab)
+                Ab = jnp.where(is_k, row_piv[None, :, :], Ab)
+            pivot_v = Ab[k, k, :]
+            factor = Ab[:, k, :] / pivot_v[None, :]
             mask = (rr > k)[:, None, :]
             Ab = Ab - jnp.where(mask, factor[:, None, :] * Ab[k][None, :, :], 0.0)
         x = jnp.zeros((nn, TB), fdt)
@@ -192,7 +206,7 @@ def nr_core(Yre, Yim, J0inv, p, q, *, x_tol, max_iter, chord_iters):
     return vr, vi, ir, ii, diff, it
 
 
-def nr_flops_per_lane(n: int, max_iter: int, chord_iters: int = 0) -> int:
+def nr_flops_per_lane(n: int, max_iter: int, chord_iters: int = 0, pivot: bool = True) -> int:
     """Analytic executed-FLOP count of :func:`nr_core` per environment lane.
 
     The kernel is opaque to XLA cost analysis (a custom call), so MFU
@@ -213,21 +227,23 @@ def nr_flops_per_lane(n: int, max_iter: int, chord_iters: int = 0) -> int:
       + dSm 8 n^2  ~= 34 n^2
     * ``solve`` (masked full-matrix GE, no shrinking active window):
       per pivot k: one-hot row extract 2 nn (nn+1) + elimination update
-      2 nn (nn+1); over nn pivots ~= 4 nn^2 (nn+1); back-substitution nn^2
+      2 nn (nn+1); over nn pivots ~= 4 nn^2 (nn+1) (pivot-free: the
+      elimination update only, ~= 2 nn^2 (nn+1)); back-substitution nn^2
     * chord iteration: J0inv @ F broadcast-sum 2 nn^2 + yv 8 n^2
     * construct_v / mismatch / masked carries: O(n) terms folded into the
       30 n / 20 n fudge constants.
     """
     m = n - 1
     nn = 2 * m
-    nr_iter = 42 * n * n + 4 * nn * nn * (nn + 1) + nn * nn + 30 * n
+    ge = (4 if pivot else 2) * nn * nn * (nn + 1)
+    nr_iter = 42 * n * n + ge + nn * nn + 30 * n
     chord_iter = 2 * nn * nn + 8 * n * n + 20 * n
     setup = 8 * n * n + 10 * n
     return setup + chord_iters * chord_iter + max_iter * nr_iter
 
 
 def _nr_tile_kernel(
-    Yre_ref, Yim_ref, J0inv_ref, p_ref, q_ref, vr_ref, vi_ref, diff_ref, it_ref, *, n, x_tol, max_iter, chord_iters
+    Yre_ref, Yim_ref, J0inv_ref, p_ref, q_ref, vr_ref, vi_ref, diff_ref, it_ref, *, n, x_tol, max_iter, chord_iters, pivot
 ):
     vr, vi, _, _, diff, it = nr_core(
         Yre_ref[:],
@@ -238,6 +254,7 @@ def _nr_tile_kernel(
         x_tol=x_tol,
         max_iter=max_iter,
         chord_iters=chord_iters,
+        pivot=pivot,
     )
     vr_ref[:] = vr
     vi_ref[:] = vi
@@ -245,8 +262,10 @@ def _nr_tile_kernel(
     it_ref[:] = it[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("x_tol", "max_iter", "tile", "chord_iters"))
-def solve_pfe_pallas(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=10, tile=DEFAULT_TILE, chord_iters=0, J0inv=None):
+@functools.partial(jax.jit, static_argnames=("x_tol", "max_iter", "tile", "chord_iters", "pivot"))
+def solve_pfe_pallas(
+    Y_re, Y_im, p, q, x_tol=1e-5, max_iter=10, tile=DEFAULT_TILE, chord_iters=0, J0inv=None, pivot=False
+):
     """Batched NR solve via the fused VMEM kernel.
 
     p, q: [B, m] float32 with B a multiple of ``tile``.  With
@@ -273,7 +292,7 @@ def solve_pfe_pallas(Y_re, Y_im, p, q, x_tol=1e-5, max_iter=10, tile=DEFAULT_TIL
 
     grid = (B // tile,)
     kernel = functools.partial(
-        _nr_tile_kernel, n=n, x_tol=x_tol, max_iter=max_iter, chord_iters=chord_iters
+        _nr_tile_kernel, n=n, x_tol=x_tol, max_iter=max_iter, chord_iters=chord_iters, pivot=pivot
     )
     vr, vi, diff, it = pl.pallas_call(
         kernel,

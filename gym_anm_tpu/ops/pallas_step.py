@@ -180,6 +180,7 @@ def _step_tile_kernel(
     x_tol,
     max_iter,
     chord_iters,
+    pivot,
 ):
     (
         n,
@@ -278,6 +279,7 @@ def _step_tile_kernel(
         x_tol=x_tol,
         max_iter=max_iter,
         chord_iters=chord_iters,
+        pivot=pivot,
     )
 
     # ---- 8. slack recovery (solve_load_flow.py:54-72) ---------------------
@@ -419,7 +421,7 @@ def fused_tile_budget(spec, vmem_bytes=16 * 2**20):
     return [t for t in (512, 256, 128) if per_lane_words * 4 * t <= vmem_bytes]
 
 
-def fused_step_flops_per_lane(spec, max_iter: int, chord_iters: int = 0) -> int:
+def fused_step_flops_per_lane(spec, max_iter: int, chord_iters: int = 0, pivot: bool = False) -> int:
     """Analytic executed-FLOP count of the whole-transition kernel per lane.
 
     The kernel is a custom call, invisible to XLA cost analysis, so MFU
@@ -448,7 +450,7 @@ def fused_step_flops_per_lane(spec, max_iter: int, chord_iters: int = 0) -> int:
     flows = 44 * spec.n_branch
     reward = 8 * n + 6 * spec.n_branch
     soc = 12 * spec.n_des
-    nr = nr_flops_per_lane(n, max_iter, chord_iters)
+    nr = nr_flops_per_lane(n, max_iter, chord_iters, pivot=pivot)
     return nr + proj + aggregate + flows + reward + soc
 
 
@@ -473,7 +475,7 @@ def fused_transition_supported(spec, des_soc, P_load):
 
 def fused_transition(
     spec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen, P_set_des, Q_set_des,
-    J0inv, x_tol=1e-5, max_iter=10, chord_iters=0, tile=None,
+    J0inv, x_tol=1e-5, max_iter=10, chord_iters=0, tile=None, pivot=False,
 ) -> FusedStepOutputs:
     """Run the fused whole-transition kernel on ``[B, k]`` float32 batches.
 
@@ -559,6 +561,7 @@ def fused_transition(
         x_tol=x_tol,
         max_iter=max_iter,
         chord_iters=chord_iters,
+        pivot=pivot,
     )
     outs = pl.pallas_call(
         kernel,

@@ -26,6 +26,51 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _verify_lanes(agent, k):
+    """Objective parity of K sampled lanes vs the scipy HiGHS LP optimum.
+
+    Uses the banded solver's sparse assembly when available (scales to
+    feeder141 horizon 20, where no dense A exists), else the dense mirror.
+    Returns max/mean relative objective gap and a feasibility residual.
+    """
+    from scipy.optimize import linprog
+    from scipy import sparse
+
+    sol = getattr(agent, "last_batch_solution", None)
+    if sol is None:
+        return {"verify_error": "no batch solution recorded"}
+    X, LV, UV = sol["x"], sol["lv"], sol["uv"]
+    B = X.shape[0]
+    lanes = np.linspace(0, B - 1, min(k, B)).astype(int)
+    A = agent.sparse_A() if hasattr(agent, "sparse_A") else sparse.csr_matrix(agent.A)
+    gaps, feas = [], []
+    for b in lanes:
+        x, lv, uv = X[b], LV[b], UV[b]
+        Ax = agent.apply_A_host(x) if hasattr(agent, "apply_A_host") else A @ x
+        feas.append(float(np.max(np.maximum(0.0, np.maximum(lv - Ax, Ax - uv)))))
+        eq = (lv == uv) & np.isfinite(lv)
+        ub = np.isfinite(uv) & ~eq
+        lb = np.isfinite(lv) & ~eq
+        res = linprog(
+            agent.q,
+            A_ub=sparse.vstack([A[ub], -A[lb]]),
+            b_ub=np.concatenate([uv[ub], -lv[lb]]),
+            A_eq=A[eq],
+            b_eq=lv[eq],
+            bounds=[(None, None)] * agent.nz,
+            method="highs",
+        )
+        if res.status != 0:
+            return {"verify_error": f"HiGHS status {res.status} on lane {int(b)}"}
+        gaps.append(abs(float(agent.q @ x) - res.fun) / max(1.0, abs(res.fun)))
+    return {
+        "verify_lanes": len(lanes),
+        "verify_max_rel_obj_gap": round(max(gaps), 8),
+        "verify_mean_rel_obj_gap": round(float(np.mean(gaps)), 8),
+        "verify_max_bound_violation": round(max(feas), 8),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, nargs="+", default=[1024])
@@ -37,6 +82,16 @@ def main():
         action="store_true",
         help="receding-horizon mode: step the fleet with the MPC action between "
         "timed solves and warm-start each solve from the previous ADMM iterate",
+    )
+    ap.add_argument(
+        "--verify",
+        type=int,
+        default=0,
+        metavar="K",
+        help="cross-check K sampled lanes of the final batch solve against the "
+        "scipy HiGHS LP optimum (sparse assembly for the banded solver, so it "
+        "works at feeder141 horizon-20 scale); adds objective-gap fields to "
+        "the JSON detail",
     )
     ap.add_argument(
         "--solver",
@@ -109,23 +164,26 @@ def main():
                     times.append(time.time() - t0)
             med = statistics.median(times)
 
+            detail = {
+                "batch": B,
+                "horizon": N,
+                "env": args.env,
+                "solver": args.solver,
+                "warm_start": bool(args.warm),
+                "median_s_per_batch": round(med, 4),
+                "first_call_s": round(compile_s, 2),
+                "backend": jax.default_backend(),
+                "mean_abs_action_mw": round(float(np.abs(acts).mean()), 3),
+            }
+            if args.verify:
+                detail.update(_verify_lanes(agent, args.verify))
             print(
                 json.dumps(
                     {
                         "metric": "mpc-solves/s",
                         "value": round(B / med, 1),
                         "unit": "solves/s",
-                        "detail": {
-                            "batch": B,
-                            "horizon": N,
-                            "env": args.env,
-                            "solver": args.solver,
-                            "warm_start": bool(args.warm),
-                            "median_s_per_batch": round(med, 4),
-                            "first_call_s": round(compile_s, 2),
-                            "backend": jax.default_backend(),
-                            "mean_abs_action_mw": round(float(np.abs(acts).mean()), 3),
-                        },
+                        "detail": detail,
                     }
                 )
             )

@@ -48,3 +48,20 @@ def test_batched_feeder_rollout():
     es, (rew, term) = run(es, key)
     assert rew.shape == (8, 16)
     assert float(np.asarray(term).mean()) < 0.5
+
+
+def test_xla_hybrid_matches_hybrid():
+    """pf_method="xla_hybrid" (the chord solver pinned to the XLA/MXU path)
+    is the same solver as "hybrid" wherever both run on XLA -- identical
+    states and termination decisions."""
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    a = make_core(pf_method="hybrid")
+    b = make_core(pf_method="xla_hybrid")
+    keys = jr.split(jr.PRNGKey(5), 16)
+    ea = jax.jit(lambda ks: a.env_state_from_s0(jax.vmap(a.init_state_fn)(ks)))(keys)
+    eb = jax.jit(lambda ks: b.env_state_from_s0(jax.vmap(b.init_state_fn)(ks)))(keys)
+    np.testing.assert_array_equal(np.asarray(ea.terminated), np.asarray(eb.terminated))
+    np.testing.assert_allclose(np.asarray(ea.sim.bus_v_re), np.asarray(eb.sim.bus_v_re), atol=0)
+    np.testing.assert_allclose(np.asarray(ea.state_vec), np.asarray(eb.state_vec), atol=0)

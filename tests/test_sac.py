@@ -28,10 +28,16 @@ def test_replay_ring_and_train_step_mechanics():
     es, rb, obs = trainer.warmup(es, rb, obs, jax.random.PRNGKey(1))
     assert int(rb.size) == 16 * 4
     assert int(rb.ptr) == 16 * 4
-    # Stored rows are real transitions: finite obs, rewards <= 0 (ANM costs).
+    # Stored rows are real transitions: finite obs, rewards in the clipped
+    # cost range.  NB rewards can be slightly *positive*: the reference's
+    # e_loss sums generator+load injections only (simulator.py:659-663), so
+    # storage discharge makes it negative; with e_loss clipped to c1 = 1 and
+    # penalty >= 0, r = -(e_c + p_c) <= 1.
     filled = np.asarray(rb.obs[: int(rb.size)])
     assert np.isfinite(filled).all()
-    assert (np.asarray(rb.reward[: int(rb.size)]) <= 1e-9).all()
+    rews = np.asarray(rb.reward[: int(rb.size)])
+    assert np.isfinite(rews).all()
+    assert (rews <= 1.0 + 1e-9).all()
 
     state, es, rb, obs, metrics = trainer._train_step(trainer.state, es, rb, obs, jax.random.PRNGKey(2))
     for k in ("critic_loss", "actor_loss", "q_mean", "alpha", "mean_reward"):
