@@ -323,11 +323,26 @@ def main():
     else:
         transitions_per_step = 1
     kflops_step = kernel_flops_per_env_step(core, solver_path, args.pf) * transitions_per_step
-    kernel_flops = kflops_step * args.batch * args.steps
+    # On the pure-XLA path the NR/chord loop runs under lax.scan/fori, whose
+    # body XLA cost analysis counts ONCE (not x trip count) -- e.g. the
+    # feeder141 chord program reports 11.7 kFLOP/step where the 28 chord
+    # matmuls actually execute 9.1 MFLOP/step/lane.  Count that loop work
+    # analytically there too (same nr_flops_per_lane model; the XLA path's
+    # elimination is the pivoted one).  The once-counted loop body then
+    # double-counts by ~1/(T * iters): negligible.
+    xla_loop_flops_step = 0
+    if solver_path == "xla":
+        from gym_anm_tpu.ops.pallas_nr import nr_flops_per_lane
+
+        chord = core.chord_iters if args.pf in ("hybrid", "xla_hybrid", "fused_hybrid") else 0
+        xla_loop_flops_step = nr_flops_per_lane(
+            core.spec.n_bus, core.max_iter, chord, pivot=True
+        ) * transitions_per_step
+    analytic_flops = (kflops_step + xla_loop_flops_step) * args.batch * args.steps
     if xla_flops is not None:
-        flops_per_program = xla_flops + kernel_flops
-    elif kernel_flops:
-        flops_per_program = float(kernel_flops)
+        flops_per_program = xla_flops + analytic_flops
+    elif analytic_flops:
+        flops_per_program = float(analytic_flops)
 
     if args.profile:
         jax.profiler.start_trace("/tmp/anm_bench_trace")
@@ -414,14 +429,11 @@ def main():
         if kflops_step:
             detail["kernel_flops_per_env_step"] = round(float(kflops_step), 1)
             detail["flops_note"] = "XLA cost analysis + analytic Pallas-kernel count"
-        elif solver_path == "xla" and xla_flops is not None:
-            # Cross-check: the same NR budget counted analytically, for
-            # comparison against XLA's own count of the scan/chord solver.
-            from gym_anm_tpu.ops.pallas_nr import nr_flops_per_lane
-
-            chord = core.chord_iters if args.pf in ("hybrid", "xla_hybrid", "fused_hybrid") else 0
-            analytic = nr_flops_per_lane(core.spec.n_bus, core.max_iter, chord) * transitions_per_step
-            detail["nr_analytic_flops_per_env_step"] = round(float(analytic), 1)
+        elif xla_loop_flops_step:
+            detail["nr_analytic_flops_per_env_step"] = round(float(xla_loop_flops_step), 1)
+            detail["flops_note"] = (
+                "XLA cost analysis counts loop bodies once; NR/chord loop work added analytically"
+            )
 
     if args.check:
         # On-chip trajectory parity: replay the committed host-f64 fixed

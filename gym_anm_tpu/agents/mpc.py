@@ -72,7 +72,16 @@ class MPCAgent:
     ``safety_margin`` (beta), ``planning_steps`` (N).
     """
 
-    def __init__(self, simulator, action_space, gamma, safety_margin=0.9, planning_steps=1):
+    def __init__(
+        self, simulator, action_space, gamma, safety_margin=0.9, planning_steps=1, solver_x64=False
+    ):
+        # solver_x64: run the ADMM solver in float64 via the scoped
+        # jax.experimental.enable_x64() context -- on TPU (f32-native) the
+        # batched ADMM otherwise plateaus at ~1e-4 scaled residuals, which
+        # at feeder141 scale leaves a measurable objective gap (~5-10% vs
+        # the HiGHS optimum; f64 closes it to ~1e-5 -- RESULTS.md round 3).
+        # No-op where x64 is already globally enabled (the CPU test suite).
+        self.solver_x64 = bool(solver_x64)
         self.safety_margin = safety_margin
         self.baseMVA = simulator.baseMVA
         self.lamb = simulator.lamb
@@ -111,6 +120,14 @@ class MPCAgent:
 
         self._build_lp()
         self._build_solver()
+
+    def _x64_ctx(self):
+        """Scoped-x64 context for solver calls (see ``solver_x64``)."""
+        if self.solver_x64:
+            return jax.enable_x64(True)
+        from contextlib import nullcontext
+
+        return nullcontext()
 
     # ------------------------------------------------------------------
     # LP assembly (host-side numpy, once).

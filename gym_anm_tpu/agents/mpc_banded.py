@@ -52,6 +52,19 @@ class MPCAgentBanded(MPCAgent):
     #: goes through :meth:`apply_A_host` / :meth:`sparse_A` instead (e.g.
     #: feeder141 horizon 20, nz = 9100 -- tests/test_mpc_banded.py).
     MIRROR_MAX_NZ = 4096
+    #: single-XLA-program ADMM flop budget: the axon TPU runtime's execution
+    #: watchdog kills workers after ~70 s in one program (measured
+    #: 2026-08-21: 8 chunks at feeder141 h5 B=64 = 57 s OK, 16 chunks
+    #: crashed); 6e12 flops ~= 25 s at the measured ~2.5e11 effective
+    #: f32-HIGHEST flop/s, leaving wide margin.  Larger solves host-loop
+    #: 1-chunk programs (with free early exit).
+    DEVICE_PROGRAM_FLOP_BUDGET = 6e12
+    #: HBM budget for one ADMM batch program: the block-Thomas factors are
+    #: 2 x [B, N, S, S] plus comparable temporaries (~16 N S^2 bytes/lane in
+    #: f32); feeder141 h20 at B=256 wants 20.7 GB > the 15.75 GB chip and
+    #: fails to compile.  Larger batches are split into power-of-two lane
+    #: chunks solved sequentially.
+    DEVICE_MEMORY_BUDGET = 6e9
 
     # ------------------------------------------------------------------
     # Banded LP assembly (host numpy, once).
@@ -273,90 +286,98 @@ class MPCAgentBanded(MPCAgent):
         self._alpha = alpha
         self._chunk_iters = iters
 
-        Adj = jnp.asarray(Ads)  # [M, S] scaled
-        Asj = jnp.asarray(Ass)
-        qj = jnp.asarray(qs_stage)  # [N, S]
-        eyeS = jnp.eye(S, dtype=Adj.dtype)
-
-        def apply_A(x):  # x [B, N, S] -> [B, N, M]
-            y = jnp.einsum("ms,bns->bnm", Adj, x)
-            y = y.at[:, 1:, :].add(jnp.einsum("ms,bns->bnm", Asj, x[:, :-1, :]))
-            return y
-
-        def apply_AT(y):  # y [B, N, M] -> [B, N, S]
-            x = jnp.einsum("ms,bnm->bns", Adj, y)
-            x = x.at[:, :-1, :].add(jnp.einsum("ms,bnm->bns", Asj, y[:, 1:, :]))
-            return x
-
-        def factor(rho_):  # rho_ [B, N, M] -> (Msub, Dinv) each [B, N, S, S]
-            # Block-tridiagonal K: D_s = sigma*I + Ad^T R_s Ad (+ As^T
-            # R_{s+1} As for s < N-1); F_s = Ad^T R_s As for s >= 1.
-            Dblk = sigma * eyeS[None, None] + jnp.einsum("mi,bnm,mj->bnij", Adj, rho_, Adj)
-            if N > 1:
-                Dblk = Dblk.at[:, :-1].add(jnp.einsum("mi,bnm,mj->bnij", Asj, rho_[:, 1:], Asj))
-                Fblk = jnp.einsum("mi,bnm,mj->bnij", Adj, rho_[:, 1:], Asj)  # [B, N-1, S, S]
-            else:
-                Fblk = jnp.zeros((rho_.shape[0], 0, S, S), rho_.dtype)
-
-            def inv_spd(K):  # [B, S, S] -> [B, S, S] via Cholesky
-                L = jnp.linalg.cholesky(K)
-                eyeB = jnp.broadcast_to(eyeS, K.shape)
-                h = jax.scipy.linalg.solve_triangular(L, eyeB, lower=True)
-                return jax.scipy.linalg.solve_triangular(jnp.swapaxes(L, -1, -2), h, lower=False)
-
-            # Block-Thomas LDL^T: Dt_s = D_s - M_s F_s^T, M_s = F_s Dinv_{s-1}.
-            def step(Dinv_prev, blocks):
-                Db, Fb = blocks  # [B, S, S] each
-                Msub = jnp.einsum("bij,bjk->bik", Fb, Dinv_prev)
-                Dt = Db - jnp.einsum("bij,bkj->bik", Msub, Fb)
-                Dinv = inv_spd(Dt)
-                return Dinv, (Msub, Dinv)
-
-            Dinv0 = inv_spd(Dblk[:, 0])
-            if N > 1:
-                _, (Msub_rest, Dinv_rest) = jax.lax.scan(
-                    step, Dinv0, (jnp.swapaxes(Dblk[:, 1:], 0, 1), jnp.swapaxes(Fblk, 0, 1))
-                )
-                Msub = jnp.concatenate(
-                    [jnp.zeros_like(Dinv0)[None], Msub_rest], axis=0
-                )  # [N, B, S, S]
-                Dinv = jnp.concatenate([Dinv0[None], Dinv_rest], axis=0)
-            else:
-                Msub = jnp.zeros_like(Dinv0)[None]
-                Dinv = Dinv0[None]
-            return Msub, Dinv  # stage-major [N, B, S, S]
-
-        def kkt_solve(Msub, Dinv, b):  # b [B, N, S] -> x [B, N, S]
-            bT = jnp.swapaxes(b, 0, 1)  # [N, B, S]
-
-            def fwd(w_prev, xs):
-                Ms, bs = xs
-                w = bs - jnp.einsum("bij,bj->bi", Ms, w_prev)
-                return w, w
-
-            w0 = jnp.zeros_like(bT[0])
-            _, w = jax.lax.scan(fwd, w0, (Msub, bT))
-            v = jnp.einsum("nbij,nbj->nbi", Dinv, w)
-
-            def bwd(x_next, xs):
-                Ms_next, vs = xs  # Ms_next = Msub[s+1]
-                x = vs - jnp.einsum("bji,bj->bi", Ms_next, x_next)
-                return x, x
-
-            if N > 1:
-                xN = v[-1]
-                _, x_rest = jax.lax.scan(
-                    bwd, xN, (Msub[1:][::-1], v[:-1][::-1])
-                )
-                x = jnp.concatenate([x_rest[::-1], xN[None]], axis=0)
-            else:
-                x = v
-            return jnp.swapaxes(x, 0, 1)  # [B, N, S]
+        # Host numpy templates: converted with jnp.asarray only INSIDE the
+        # traced program below, so they fold as constants in the ambient
+        # dtype (f32, or f64 under the scoped solver_x64 context) without a
+        # device->host copy at lowering time (docs/quirks.md #7).
+        Ad_np = np.asarray(Ads)  # [M, S] scaled
+        As_np = np.asarray(Ass)
+        q_np = np.asarray(qs_stage)  # [N, S]
 
         def admm_batch_full(ls, us, x0, z0, y0, rho0, n_chunks, chunk_len, eps):
             """Banded analog of the dense backend's fully on-device batched
             ADMM (mpc.py): chunks of fixed iterations, per-lane adaptive rho
             with on-device refactorization between chunks."""
+            dt = ls.dtype
+            Adj = jnp.asarray(Ad_np, dt)
+            Asj = jnp.asarray(As_np, dt)
+            qj = jnp.asarray(q_np, dt)
+            eyeS = jnp.eye(S, dtype=dt)
+
+            def apply_A(x):  # x [B, N, S] -> [B, N, M]
+                y = jnp.einsum("ms,bns->bnm", Adj, x)
+                y = y.at[:, 1:, :].add(jnp.einsum("ms,bns->bnm", Asj, x[:, :-1, :]))
+                return y
+
+            def apply_AT(y):  # y [B, N, M] -> [B, N, S]
+                x = jnp.einsum("ms,bnm->bns", Adj, y)
+                x = x.at[:, :-1, :].add(jnp.einsum("ms,bnm->bns", Asj, y[:, 1:, :]))
+                return x
+
+            def factor(rho_):  # rho_ [B, N, M] -> (Msub, Dinv) each [B, N, S, S]
+                # Block-tridiagonal K: D_s = sigma*I + Ad^T R_s Ad (+ As^T
+                # R_{s+1} As for s < N-1); F_s = Ad^T R_s As for s >= 1.
+                Dblk = sigma * eyeS[None, None] + jnp.einsum("mi,bnm,mj->bnij", Adj, rho_, Adj)
+                if N > 1:
+                    Dblk = Dblk.at[:, :-1].add(jnp.einsum("mi,bnm,mj->bnij", Asj, rho_[:, 1:], Asj))
+                    Fblk = jnp.einsum("mi,bnm,mj->bnij", Adj, rho_[:, 1:], Asj)  # [B, N-1, S, S]
+                else:
+                    Fblk = jnp.zeros((rho_.shape[0], 0, S, S), rho_.dtype)
+
+                def inv_spd(K):  # [B, S, S] -> [B, S, S] via Cholesky
+                    L = jnp.linalg.cholesky(K)
+                    eyeB = jnp.broadcast_to(eyeS, K.shape)
+                    h = jax.scipy.linalg.solve_triangular(L, eyeB, lower=True)
+                    return jax.scipy.linalg.solve_triangular(jnp.swapaxes(L, -1, -2), h, lower=False)
+
+                # Block-Thomas LDL^T: Dt_s = D_s - M_s F_s^T, M_s = F_s Dinv_{s-1}.
+                def step(Dinv_prev, blocks):
+                    Db, Fb = blocks  # [B, S, S] each
+                    Msub = jnp.einsum("bij,bjk->bik", Fb, Dinv_prev)
+                    Dt = Db - jnp.einsum("bij,bkj->bik", Msub, Fb)
+                    Dinv = inv_spd(Dt)
+                    return Dinv, (Msub, Dinv)
+
+                Dinv0 = inv_spd(Dblk[:, 0])
+                if N > 1:
+                    _, (Msub_rest, Dinv_rest) = jax.lax.scan(
+                        step, Dinv0, (jnp.swapaxes(Dblk[:, 1:], 0, 1), jnp.swapaxes(Fblk, 0, 1))
+                    )
+                    Msub = jnp.concatenate(
+                        [jnp.zeros_like(Dinv0)[None], Msub_rest], axis=0
+                    )  # [N, B, S, S]
+                    Dinv = jnp.concatenate([Dinv0[None], Dinv_rest], axis=0)
+                else:
+                    Msub = jnp.zeros_like(Dinv0)[None]
+                    Dinv = Dinv0[None]
+                return Msub, Dinv  # stage-major [N, B, S, S]
+
+            def kkt_solve(Msub, Dinv, b):  # b [B, N, S] -> x [B, N, S]
+                bT = jnp.swapaxes(b, 0, 1)  # [N, B, S]
+
+                def fwd(w_prev, xs):
+                    Ms, bs = xs
+                    w = bs - jnp.einsum("bij,bj->bi", Ms, w_prev)
+                    return w, w
+
+                w0 = jnp.zeros_like(bT[0])
+                _, w = jax.lax.scan(fwd, w0, (Msub, bT))
+                v = jnp.einsum("nbij,nbj->nbi", Dinv, w)
+
+                def bwd(x_next, xs):
+                    Ms_next, vs = xs  # Ms_next = Msub[s+1]
+                    x = vs - jnp.einsum("bji,bj->bi", Ms_next, x_next)
+                    return x, x
+
+                if N > 1:
+                    xN = v[-1]
+                    _, x_rest = jax.lax.scan(
+                        bwd, xN, (Msub[1:][::-1], v[:-1][::-1])
+                    )
+                    x = jnp.concatenate([x_rest[::-1], xN[None]], axis=0)
+                else:
+                    x = v
+                return jnp.swapaxes(x, 0, 1)  # [B, N, S]
 
             def chunk(carry, _):
                 x, z, y, rho_ = carry  # x [B,N,S]; z/y/rho [B,N,M]
@@ -396,38 +417,107 @@ class MPCAgentBanded(MPCAgent):
             chunk_len = self._chunk_iters
         N, M, S = self.planning_steps, self.M_rows, self.stage_size
         Bsz = lv.shape[0]
-        ls = jnp.asarray((self._E[None, :] * lv).reshape(Bsz, N, M))
-        us = jnp.asarray((self._E[None, :] * uv).reshape(Bsz, N, M))
-        rho0 = np.where(self._eq_rows, self._rho0 * 1e3, self._rho0).reshape(1, N, M)
-        rho0 = jnp.asarray(np.broadcast_to(rho0, (Bsz, N, M)), ls.dtype)
-        if warm is None:
-            x0 = jnp.zeros((Bsz, N, S), ls.dtype)
-            z0 = jnp.clip(jnp.zeros((Bsz, N, M), ls.dtype), ls, us)
-            y0 = jnp.zeros((Bsz, N, M), ls.dtype)
-            chunks = max_chunks
-        else:
-            x0, z0, y0 = warm
-            z0 = jnp.clip(z0, ls, us)
-            chunks = warm_chunks
-        x, z, y, rho_, pri, dual = self._admm_batch_full_banded(
-            ls, us, x0, z0, y0, rho0, chunks, chunk_len, eps
-        )
-        if warm is not None:
-            worst = float(np.max(np.asarray(jnp.maximum(pri, dual))))
-            if not np.isfinite(worst):
-                # Restart cold with a fresh rho (NaN iterates never recover).
+
+        # HBM guard: split over-budget batches into lane chunks (each chunk
+        # is an independent set of lanes; results concatenate exactly).
+        import jax as _jax
+
+        # Effective bytes/value: f64 on TPU is emulated (hi/lo f32 pairs
+        # with temporaries) and measures ~2.1x beyond its 8-byte itemsize
+        # (17.7 GB at h5 B=64 f64 vs the 8.5 GB naive model).
+        x64 = self.solver_x64 or _jax.config.jax_enable_x64
+        itemsize = 18 if x64 else 4
+        per_lane_bytes = 16 * N * S * S * itemsize
+        b_chunk = max(1, int(self.DEVICE_MEMORY_BUDGET // per_lane_bytes))
+        b_chunk = 1 << (b_chunk.bit_length() - 1)  # power of two: stable compiles
+        if Bsz > b_chunk:
+            outs, carries = [], []
+            for i in range(0, Bsz, b_chunk):
+                w = None if warm is None else tuple(wv[i : i + b_chunk] for wv in warm)
+                xd, c = self._admm_batch(
+                    lv[i : i + b_chunk],
+                    uv[i : i + b_chunk],
+                    eps=eps,
+                    max_chunks=max_chunks,
+                    chunk_len=chunk_len,
+                    warm=w,
+                    warm_chunks=warm_chunks,
+                )
+                outs.append(xd)
+                carries.append(c)
+            x_dense = np.concatenate(outs, axis=0)
+            carry = tuple(jnp.concatenate([c[j] for c in carries], axis=0) for j in range(3))
+            return x_dense, carry
+
+        with self._x64_ctx():
+            ls = jnp.asarray((self._E[None, :] * lv).reshape(Bsz, N, M))
+            us = jnp.asarray((self._E[None, :] * uv).reshape(Bsz, N, M))
+            rho0 = np.where(self._eq_rows, self._rho0 * 1e3, self._rho0).reshape(1, N, M)
+            rho0 = jnp.asarray(np.broadcast_to(rho0, (Bsz, N, M)), ls.dtype)
+            # The axon TPU runtime kills a worker whose single program runs
+            # longer than ~70 s (docs/quirks.md: "TPU worker process crashed");
+            # at feeder141 scale the full 16-chunk ADMM budget is one such
+            # program.  Above a flop budget (~25 s at the measured ~2.5e11
+            # effective f32-HIGHEST flop/s), split the budget into host-looped
+            # 1-chunk programs with convergence/stall early exit between calls;
+            # below it, keep the original single-program path (bit-identical
+            # behavior on all small problems).
+            flops_per_iter_lane = N * (4 * self.M_rows * S + 6 * S * S)
+            if x64:
+                # f64 emulation executes ~6-8 f32 ops per flop: budget in
+                # f32-equivalent work so programs stay under the watchdog.
+                flops_per_iter_lane *= 8
+            total_work = flops_per_iter_lane * Bsz * max_chunks * chunk_len
+            single_program = total_work <= self.DEVICE_PROGRAM_FLOP_BUDGET
+
+            # Per-call iteration count: even ONE chunk can exceed the watchdog
+            # at feeder141 h20 B=256 (~64 s), so calls shrink below chunk_len
+            # when needed (rho then adapts more often -- a cadence heuristic,
+            # not a semantics change).
+            per_iter_flops = flops_per_iter_lane * Bsz
+            call_len = int(min(chunk_len, max(100, (self.DEVICE_PROGRAM_FLOP_BUDGET // per_iter_flops) // 100 * 100)))
+
+            def run_budget(x, z, y, rho_, n_chunks):
+                if single_program:
+                    return self._admm_batch_full_banded(ls, us, x, z, y, rho_, n_chunks, chunk_len, eps)
+                stall_floor = 1e-6 if ls.dtype == jnp.float64 else 5e-5
+                prev = np.inf
+                pri = dual = None
+                done = 0
+                total = n_chunks * chunk_len
+                while done < total:
+                    x, z, y, rho_, pri, dual = self._admm_batch_full_banded(
+                        ls, us, x, z, y, rho_, 1, call_len, eps
+                    )
+                    done += call_len
+                    worst = float(np.max(np.asarray(jnp.maximum(pri, dual))))
+                    if worst < eps or not np.isfinite(worst):
+                        break
+                    if worst < stall_floor and worst > 0.5 * prev:
+                        break  # stalled below any meaningful tolerance
+                    prev = worst
+                return x, z, y, rho_, pri, dual
+
+            if warm is None:
                 x0 = jnp.zeros((Bsz, N, S), ls.dtype)
                 z0 = jnp.clip(jnp.zeros((Bsz, N, M), ls.dtype), ls, us)
                 y0 = jnp.zeros((Bsz, N, M), ls.dtype)
-                x, z, y, rho_, pri, dual = self._admm_batch_full_banded(
-                    ls, us, x0, z0, y0, rho0, max_chunks, chunk_len, eps
-                )
-            elif worst > self._warm_tol:
-                x, z, y, rho_, pri, dual = self._admm_batch_full_banded(
-                    ls, us, x, z, y, rho_, max_chunks, chunk_len, eps
-                )
-        x_dense = np.asarray(x).reshape(Bsz, N * S) * self._D[None, :]
-        return x_dense, (x, z, y)
+                x, z, y, rho_, pri, dual = run_budget(x0, z0, y0, rho0, max_chunks)
+            else:
+                x0, z0, y0 = warm
+                z0 = jnp.clip(z0, ls, us)
+                x, z, y, rho_, pri, dual = run_budget(x0, z0, y0, rho0, warm_chunks)
+                worst = float(np.max(np.asarray(jnp.maximum(pri, dual))))
+                if not np.isfinite(worst):
+                    # Restart cold with a fresh rho (NaN iterates never recover).
+                    x0 = jnp.zeros((Bsz, N, S), ls.dtype)
+                    z0 = jnp.clip(jnp.zeros((Bsz, N, M), ls.dtype), ls, us)
+                    y0 = jnp.zeros((Bsz, N, M), ls.dtype)
+                    x, z, y, rho_, pri, dual = run_budget(x0, z0, y0, rho0, max_chunks)
+                elif worst > self._warm_tol:
+                    x, z, y, rho_, pri, dual = run_budget(x, z, y, rho_, max_chunks)
+            x_dense = np.asarray(x).reshape(Bsz, N * S) * self._D[None, :]
+            return x_dense, (x, z, y)
 
     def _admm(self, lv, uv, eps=1e-9, max_chunks=12):
         """Single-instance host path: one-lane banded solve with the dense
@@ -435,31 +525,32 @@ class MPCAgentBanded(MPCAgent):
         converges in 1-2 chunks; running the full budget in one program
         would cost ~10x the wall time per ``act()``)."""
         N, M, S = self.planning_steps, self.M_rows, self.stage_size
-        ls = jnp.asarray((self._E * lv).reshape(1, N, M))
-        us = jnp.asarray((self._E * uv).reshape(1, N, M))
-        rho = np.where(self._eq_rows, self._rho0 * 1e3, self._rho0).reshape(1, N, M)
-        rho = jnp.asarray(rho, ls.dtype)
-        x = jnp.zeros((1, N, S), ls.dtype)
-        z = jnp.clip(jnp.zeros((1, N, M), ls.dtype), ls, us)
-        y = jnp.zeros((1, N, M), ls.dtype)
-        prev = np.inf
-        for _ in range(max_chunks):
-            x, z, y, rho, pri, dual = self._admm_batch_full_banded(
-                ls, us, x, z, y, rho, 1, self._chunk_iters, eps
-            )
-            worst = float(np.max(np.asarray(jnp.maximum(pri, dual))))
-            # Converged, or stalled at the float64 residual floor below any
-            # meaningful tolerance -- the active-set polish recovers the
-            # exact vertex from there (verified bit-equal to the dense
-            # backend's solutions in tests/test_mpc_banded.py).
-            if worst < eps or (worst < 1e-6 and worst > 0.5 * prev):
-                break
-            prev = worst
-        x_dense = np.asarray(x).reshape(N * S) * self._D
-        # Unscale to the dense backend's (x, z, y) convention for _polish.
-        z_d = np.asarray(z).reshape(N * M) / self._E
-        y_d = np.asarray(y).reshape(N * M) * self._E / self._c
-        return x_dense, z_d, y_d
+        with self._x64_ctx():
+            ls = jnp.asarray((self._E * lv).reshape(1, N, M))
+            us = jnp.asarray((self._E * uv).reshape(1, N, M))
+            rho = np.where(self._eq_rows, self._rho0 * 1e3, self._rho0).reshape(1, N, M)
+            rho = jnp.asarray(rho, ls.dtype)
+            x = jnp.zeros((1, N, S), ls.dtype)
+            z = jnp.clip(jnp.zeros((1, N, M), ls.dtype), ls, us)
+            y = jnp.zeros((1, N, M), ls.dtype)
+            prev = np.inf
+            for _ in range(max_chunks):
+                x, z, y, rho, pri, dual = self._admm_batch_full_banded(
+                    ls, us, x, z, y, rho, 1, self._chunk_iters, eps
+                )
+                worst = float(np.max(np.asarray(jnp.maximum(pri, dual))))
+                # Converged, or stalled at the float64 residual floor below any
+                # meaningful tolerance -- the active-set polish recovers the
+                # exact vertex from there (verified bit-equal to the dense
+                # backend's solutions in tests/test_mpc_banded.py).
+                if worst < eps or (worst < 1e-6 and worst > 0.5 * prev):
+                    break
+                prev = worst
+            x_dense = np.asarray(x).reshape(N * S) * self._D
+            # Unscale to the dense backend's (x, z, y) convention for _polish.
+            z_d = np.asarray(z).reshape(N * M) / self._E
+            y_d = np.asarray(y).reshape(N * M) * self._E / self._c
+            return x_dense, z_d, y_d
 
     def _polish(self, x, z, y, lv, uv, tol=1e-6):
         if self.A is None or self.nz > self.POLISH_MAX_NZ:

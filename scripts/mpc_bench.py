@@ -84,6 +84,13 @@ def main():
         "timed solves and warm-start each solve from the previous ADMM iterate",
     )
     ap.add_argument(
+        "--f64",
+        action="store_true",
+        help="run the ADMM solver in float64 (scoped enable_x64; the accuracy "
+        "mode for f32-native TPUs -- closes the ~5-10%% f32 objective gap at "
+        "feeder141 scale to ~1e-5 at an emulation cost)",
+    )
+    ap.add_argument(
         "--verify",
         type=int,
         default=0,
@@ -139,7 +146,8 @@ def main():
 
         for N in args.horizon:
             agent = agent_cls(
-                host_env.simulator, host_env.action_space, host_env.gamma, planning_steps=N
+                host_env.simulator, host_env.action_space, host_env.gamma, planning_steps=N,
+                solver_x64=args.f64,
             )
             t0 = time.time()
             acts = agent.act_batch(state_vecs, warm_start=args.warm)  # compile + cold solve
