@@ -107,6 +107,7 @@ class BatchedEnv:
         """
         core = self.core
         B = self.batch_size
+        es = core.unlean(es)  # accept lean rollout carries (no-op for full states)
         k_vars, k_reset = jax.random.split(key)
         if core.stochastic_vars:
             vars_keys = jax.random.split(k_vars, B)
