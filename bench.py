@@ -120,30 +120,17 @@ def tpu_probe(watchdog, timeout_s=600):
 def resolve_solver_path(core, batch_size, pf_method):
     """Which implementation transition() will actually take for this config:
     'pallas_nr' (fused NR kernel), 'fused_kernel' (whole-transition kernel),
-    or 'xla' (scan/while/chord solver).  Mirrors the dispatch conditions in
-    core/transition.py so the bench reports solver-dependent fields
-    honestly (e.g. chord_precision only applies on the 'xla' path)."""
-    import jax
-
-    from gym_anm_tpu.core.transition import pallas_nr_applies
+    or 'xla' (scan/while/chord solver).  Delegates to the shared
+    ``core.transition.resolve_solver_path`` -- the same function
+    ``transition()`` itself dispatches through, so this report cannot drift
+    from the real dispatch."""
+    from gym_anm_tpu.core.transition import resolve_solver_path as _resolve
 
     spec = core.spec
-    if pf_method in ("fused", "fused_hybrid"):
-        from gym_anm_tpu.ops import pallas_step
-
-        if (jax.default_backend() == "tpu" or pallas_step.FORCE_INTERPRET) and isinstance(
-            spec.Y_re, np.ndarray
-        ):
-            soc = np.zeros((batch_size, spec.n_des), spec.dtype)
-            pl = np.zeros((batch_size, spec.n_load), spec.dtype)
-            if pallas_step.fused_transition_supported(spec, soc, pl) is not None:
-                return "fused_kernel"
-        pf_method = "pallas" if pf_method == "fused" else "hybrid"
-    if pf_method in ("pallas", "hybrid"):
-        p_in = np.zeros((batch_size, spec.n_bus - 1), spec.dtype)
-        if pallas_nr_applies(spec, p_in):
-            return "pallas_nr"
-    return "xla"
+    soc = np.zeros((batch_size, spec.n_des), spec.dtype)
+    pl = np.zeros((batch_size, spec.n_load), spec.dtype)
+    path, _, _ = _resolve(spec, pf_method, soc, pl)
+    return path
 
 
 def kernel_flops_per_env_step(core, solver_path, pf_method):

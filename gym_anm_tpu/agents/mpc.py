@@ -76,7 +76,7 @@ class MPCAgent:
         self, simulator, action_space, gamma, safety_margin=0.9, planning_steps=1, solver_x64=False
     ):
         # solver_x64: run the ADMM solver in float64 via the scoped
-        # jax.experimental.enable_x64() context -- on TPU (f32-native) the
+        # jax.enable_x64(True) context -- on TPU (f32-native) the
         # batched ADMM otherwise plateaus at ~1e-4 scaled residuals, which
         # at feeder141 scale leaves a measurable objective gap (~5-10% vs
         # the HiGHS optimum; f64 closes it to ~1e-5 -- RESULTS.md round 3).
@@ -432,7 +432,15 @@ class MPCAgent:
 
     def _admm(self, lv, uv, eps=1e-9, max_chunks=12):
         """Run ADMM to convergence with warm-started chunks and adaptive rho
-        (refactorizing the KKT matrix on rho updates, as OSQP does)."""
+        (refactorizing the KKT matrix on rho updates, as OSQP does).
+
+        Runs under the scoped ``solver_x64`` context (like the banded
+        backend): the jitted chunk re-traces on the f64 operands, so the
+        flag is honored on this dense backend too."""
+        with self._x64_ctx():
+            return self._admm_impl(lv, uv, eps=eps, max_chunks=max_chunks)
+
+    def _admm_impl(self, lv, uv, eps=1e-9, max_chunks=12):
         m, n = self._As.shape
         ls, us = self._E * lv, self._E * uv
         rho_vec = np.where(self._eq_rows, self._rho0 * 1e3, self._rho0)
@@ -511,7 +519,17 @@ class MPCAgent:
         full ``max_chunks`` resume if any lane is worse than ``_warm_tol``.
         Returns (x [B, n] unscaled numpy, carry) -- hand the carry back in
         as ``warm`` on the next receding-horizon step.
+
+        Runs under the scoped ``solver_x64`` context (like the banded
+        backend's _admm_batch): the jitted program re-traces on the f64
+        operands, so the flag is honored on this dense backend too.
         """
+        with self._x64_ctx():
+            return self._admm_batch_impl(
+                lv, uv, eps=eps, max_chunks=max_chunks, chunk_len=chunk_len, warm=warm, warm_chunks=warm_chunks
+            )
+
+    def _admm_batch_impl(self, lv, uv, eps=1e-8, max_chunks=16, chunk_len=1500, warm=None, warm_chunks=2):
         ls = jnp.asarray(self._E[None, :] * lv)  # [B, m]
         us = jnp.asarray(self._E[None, :] * uv)
         m, n = self._As.shape

@@ -101,6 +101,54 @@ def pallas_nr_applies(spec: GridSpec, p_in) -> bool:
     )
 
 
+def resolve_solver_path(spec: GridSpec, pf_method: str, des_soc, P_load, *more):
+    """The solver implementation :func:`transition` will dispatch to.
+
+    Returns ``(path, effective_pf_method, fused_tile)`` with ``path`` one of
+    ``"fused_kernel"`` (whole-transition Pallas kernel),
+    ``"pallas_nr"`` (fused NR kernel), or ``"xla"`` (scan/while/chord
+    solver); ``effective_pf_method`` is ``pf_method`` after any fused->
+    pallas/hybrid downgrade.  This is the **single source of truth** for the
+    dispatch: :func:`transition` itself routes through it, and bench.py
+    imports it for honest solver-dependent reporting -- the accounting can
+    no longer drift from the real dispatch (it IS the real dispatch).
+
+    Only shapes/dtypes of ``des_soc``/``P_load`` are read, so host probes
+    (numpy arrays or ``jax.ShapeDtypeStruct``) work: pass e.g.
+    ``np.zeros((B, spec.n_des), spec.dtype)`` to predict the path for a
+    batch size without tracing anything.
+    """
+    import jax
+
+    eff = pf_method
+    if eff in ("fused", "fused_hybrid"):
+        from ..ops import pallas_step
+
+        tile = None
+        if (jax.default_backend() == "tpu" or pallas_step.FORCE_INTERPRET) and isinstance(
+            spec.Y_re, np.ndarray
+        ):
+            tile = pallas_step.fused_transition_supported(spec, des_soc, P_load)
+        if tile is not None:
+            return "fused_kernel", eff, tile
+        eff = "pallas" if eff == "fused" else "hybrid"
+    if eff in ("pallas", "hybrid"):
+        # Probe of the p_in the NR solver will see: [*batch, n_bus - 1] in
+        # the dtype the injection pipeline produces (spec.dtype unless a
+        # caller feeds wider inputs, which promote through the einsum).
+        # ``more`` holds any further set-point arrays whose leading dims
+        # contribute to the broadcast batch shape.
+        arrs = (des_soc, P_load) + more
+        bs = np.broadcast_shapes(*(np.shape(a)[:-1] for a in arrs))
+        dts = [np.dtype(spec.dtype)] + [
+            np.dtype(a.dtype) for a in arrs if getattr(a, "dtype", None) is not None
+        ]
+        probe = jax.ShapeDtypeStruct(tuple(bs) + (spec.n_bus - 1,), np.result_type(*dts))
+        if pallas_nr_applies(spec, probe):
+            return "pallas_nr", eff, None
+    return "xla", eff, None
+
+
 def _map_set_points(spec: GridSpec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen, P_set_des, Q_set_des):
     """Steps 1-3 of the transition: feasible injections + SoC update."""
     dt = spec.dtype
@@ -246,62 +294,57 @@ def transition(
     """
     import jax
 
-    if pf_method in ("fused", "fused_hybrid"):
+    solver_path, pf_method, fused_tile = resolve_solver_path(
+        spec, pf_method, des_soc, P_load, P_pot, P_set_gen, Q_set_gen, P_set_des, Q_set_des
+    )
+    if solver_path == "fused_kernel":
         from ..ops import pallas_step
+        from ..ops.power_flow import flat_start_jacobian_inv_np
 
-        tile = (
-            pallas_step.fused_transition_supported(spec, des_soc, P_load)
-            if (jax.default_backend() == "tpu" or pallas_step.FORCE_INTERPRET)
-            and isinstance(spec.Y_re, np.ndarray)
-            else None
+        J0inv = flat_start_jacobian_inv_np(spec.Y_re, spec.Y_im, dtype=spec.dtype)
+        o = pallas_step.fused_transition(
+            spec,
+            des_soc,
+            P_load,
+            P_pot,
+            P_set_gen,
+            Q_set_gen,
+            P_set_des,
+            Q_set_des,
+            J0inv,
+            x_tol=x_tol,
+            max_iter=max_iter,
+            chord_iters=chord_iters if pf_method == "fused_hybrid" else 0,
+            tile=fused_tile,
+            pivot=nr_pivot,
         )
-        if tile is not None:
-            from ..ops.power_flow import flat_start_jacobian_inv_np
-
-            J0inv = flat_start_jacobian_inv_np(spec.Y_re, spec.Y_im, dtype=spec.dtype)
-            o = pallas_step.fused_transition(
-                spec,
-                des_soc,
-                P_load,
-                P_pot,
-                P_set_gen,
-                Q_set_gen,
-                P_set_des,
-                Q_set_des,
-                J0inv,
-                x_tol=x_tol,
-                max_iter=max_iter,
-                chord_iters=chord_iters if pf_method == "fused_hybrid" else 0,
-                pivot=nr_pivot,
-            )
-            diff = o.diff[..., 0]
-            converged = diff <= x_tol
-            e_loss = o.e_loss[..., 0]
-            penalty = o.penalty[..., 0]
-            state = SimState(
-                dev_p=o.dev_p,
-                dev_q=o.dev_q,
-                des_soc=o.soc_new,
-                gen_p_pot=o.p_pot,
-                bus_v_re=o.v_re,
-                bus_v_im=o.v_im,
-                bus_i_re=o.i_re,
-                bus_i_im=o.i_im,
-                bus_p=o.bus_p,
-                bus_q=o.bus_q,
-                br_if_re=o.if_re,
-                br_if_im=o.if_im,
-                br_it_re=o.it_re,
-                br_it_im=o.it_im,
-                br_p_from=o.p_from,
-                br_q_from=o.q_from,
-                br_p_to=o.p_to,
-                br_q_to=o.q_to,
-                br_s=o.s_max,
-                pfe_converged=converged,
-            )
-            return TransitionResult(state, -(e_loss + penalty), e_loss, penalty, converged)
-        pf_method = "pallas" if pf_method == "fused" else "hybrid"
+        diff = o.diff[..., 0]
+        converged = diff <= x_tol
+        e_loss = o.e_loss[..., 0]
+        penalty = o.penalty[..., 0]
+        state = SimState(
+            dev_p=o.dev_p,
+            dev_q=o.dev_q,
+            des_soc=o.soc_new,
+            gen_p_pot=o.p_pot,
+            bus_v_re=o.v_re,
+            bus_v_im=o.v_im,
+            bus_i_re=o.i_re,
+            bus_i_im=o.i_im,
+            bus_p=o.bus_p,
+            bus_q=o.bus_q,
+            br_if_re=o.if_re,
+            br_if_im=o.if_im,
+            br_it_re=o.it_re,
+            br_it_im=o.it_im,
+            br_p_from=o.p_from,
+            br_q_from=o.q_from,
+            br_p_to=o.p_to,
+            br_q_to=o.q_to,
+            br_s=o.s_max,
+            pfe_converged=converged,
+        )
+        return TransitionResult(state, -(e_loss + penalty), e_loss, penalty, converged)
 
     dev_p, dev_q, new_soc, p_pot = _map_set_points(
         spec, des_soc, P_load, P_pot, P_set_gen, Q_set_gen, P_set_des, Q_set_des
@@ -320,10 +363,12 @@ def transition(
     # Newton-Raphson load flow; slack bus is internal index 0.  The fused
     # Pallas kernel handles aligned f32 batches on TPU; everything else
     # falls back to the XLA scan/while solver (identical semantics).
-    import jax
-
     p_in, q_in = bus_p[..., 1:], bus_q[..., 1:]
-    use_pallas = pf_method in ("pallas", "hybrid") and pallas_nr_applies(spec, p_in)
+    use_pallas = solver_path == "pallas_nr"
+    assert use_pallas == (pf_method in ("pallas", "hybrid") and pallas_nr_applies(spec, p_in)), (
+        "resolve_solver_path's probe disagrees with the real p_in dispatch "
+        "condition -- the shared dispatch drifted (core/transition.py)"
+    )
     if use_pallas and chord_precision is not None:
         import warnings
 

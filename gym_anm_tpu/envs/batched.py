@@ -120,11 +120,15 @@ class BatchedEnv:
             return es_new, out
 
         if fresh is not None:
-            # Rotate the pool by a random offset so a lane reborn twice in
-            # one segment (or two lanes reborn together) draw different
-            # entries; a gather is a relayout, not a physics solve.
-            off = jax.random.randint(k_reset, (), 0, B)
-            idx = (jnp.arange(B) + off) % B
+            # Per-lane random pool indices: lanes reborn in the same step
+            # draw i.i.d. entries (a shared scalar rotation would hand
+            # co-reborn lanes pool entries at fixed relative offsets -- a
+            # structured correlation in the training data).  Entries may
+            # still repeat across a segment (sampling with replacement from
+            # a B-entry pool) -- the documented pool-mode tradeoff vs
+            # ``"step"`` mode's fully i.i.d. per-step resets.  A gather is a
+            # relayout, not a physics solve.
+            idx = jax.random.randint(k_reset, (B,), 0, B)
             es_fresh = jax.tree.map(lambda x: x[idx], fresh)
         else:
             reset_keys = jax.random.split(k_reset, B)

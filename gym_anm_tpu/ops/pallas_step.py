@@ -457,16 +457,18 @@ def fused_step_flops_per_lane(spec, max_iter: int, chord_iters: int = 0, pivot: 
 def fused_transition_supported(spec, des_soc, P_load):
     """The lane tile to use, or None when the fused kernel doesn't apply
     (needs float32, 2-D ``[B, k]`` batches, tile-aligned B, and at least one
-    device of each class so every kernel input is non-empty)."""
+    device of each class so every kernel input is non-empty).
+
+    Only reads shapes/dtypes (``np.ndim``/``np.shape`` work on tracers,
+    numpy arrays, and ``jax.ShapeDtypeStruct`` probes alike) -- callers may
+    pass host probes without triggering any device transfer."""
     if spec.dtype not in (jnp.float32, np.float32):
         return None
     if not (spec.n_load and spec.n_gen and spec.n_des):
         return None
-    soc = jnp.asarray(des_soc)
-    pl_ = jnp.asarray(P_load)
-    if soc.ndim != 2 or pl_.ndim != 2:
+    if np.ndim(des_soc) != 2 or np.ndim(P_load) != 2:
         return None
-    B = soc.shape[0]
+    B = np.shape(des_soc)[0]
     for t in fused_tile_budget(spec):
         if B % t == 0:
             return t

@@ -102,8 +102,10 @@ def test_pool_mode_rollout_revives_lanes():
 
 
 def test_pool_gather_uses_pool_entries():
-    """A lane terminated this step comes back holding exactly a pool entry
-    (under the rotated-gather mechanics)."""
+    """A lane terminated this step comes back holding exactly a pool entry,
+    drawn i.i.d. per lane (sampling with replacement -- NOT a shared
+    rotation, which would hand co-reborn lanes pool entries at fixed
+    relative offsets)."""
     core = _collapse_core(collapse_prob=1.0)  # every lane collapses
     B = 16
     env = BatchedEnv(core, batch_size=B, auto_reset=True)
@@ -111,17 +113,24 @@ def test_pool_gather_uses_pool_entries():
     es, _ = env.reset(key)
     fresh = jax.jit(env.fresh_states)(jax.random.fold_in(key, 1))
     actions = jnp.zeros((B, core.action_n), core.spec.dtype)
-    es2, out = jax.jit(lambda es, a, k: env.step_fn(es, a, k, fresh=fresh))(
-        es, actions, jax.random.fold_in(key, 2)
-    )
+    step = jax.jit(lambda es, a, k: env.step_fn(es, a, k, fresh=fresh))
+    es2, out = step(es, actions, jax.random.fold_in(key, 2))
     assert np.asarray(out.terminated).all()
-    got = np.asarray(core.state_vec(es2))
     pool = np.asarray(core.state_vec(fresh))
-    # Every reborn lane's state vector is one of the pool rows.
-    for row in got:
-        assert np.any(np.all(np.isclose(pool, row[None, :], atol=1e-6), axis=1)), row
-    # And the gather is a rotation: distinct lanes hold distinct entries.
-    assert len({tuple(np.round(r, 6)) for r in got}) == B
+
+    def pool_index(row):
+        hits = np.where(np.all(np.isclose(pool, row[None, :], atol=1e-6), axis=1))[0]
+        assert hits.size >= 1, row  # every reborn lane holds a pool row
+        return int(hits[0])
+
+    idx2 = np.array([pool_index(r) for r in np.asarray(core.state_vec(es2))])
+    # i.i.d. draws: not all lanes landed on one entry, and (across two
+    # independent reset keys) the per-lane index *differences* are not a
+    # constant offset -- which is exactly what a shared rotation produces.
+    es3, _ = step(es, actions, jax.random.fold_in(key, 3))
+    idx3 = np.array([pool_index(r) for r in np.asarray(core.state_vec(es3))])
+    assert len(set(idx2.tolist())) > 1
+    assert len(set(((idx3 - idx2) % B).tolist())) > 1, (idx2, idx3)
 
 
 def test_pool_and_step_modes_agree_statistically():
