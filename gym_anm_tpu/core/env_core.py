@@ -58,7 +58,8 @@ class EnvState:
 class LeanEnvState(NamedTuple):
     """Minimal rollout carry: exactly the ``EnvState`` content the next
     ``step()`` reads (``sim.des_soc``, ``aux``, ``terminated``,
-    ``state_vec``).
+    ``state_vec`` -- plus the solved bus voltages when the core
+    warm-starts its power flows).
 
     Scanning over a full :class:`EnvState` forces XLA to compute, mask, and
     carry every diagnostic ``SimState`` field (branch currents/flows, bus
@@ -74,6 +75,8 @@ class LeanEnvState(NamedTuple):
     aux: jax.Array  # [K]
     terminated: jax.Array  # [] bool
     state_vec: jax.Array  # [state_n]
+    bus_v_re: Optional[jax.Array] = None  # [n] only when EnvCore.warm_start
+    bus_v_im: Optional[jax.Array] = None  # [n]
 
 
 class StepOut(NamedTuple):
@@ -133,6 +136,7 @@ class EnvCore:
         stochastic_vars: bool = True,
         reset_attempts: int = 10,
         nr_pivot: bool = False,
+        warm_start: bool = False,
     ):
         self.spec = spec
         self.K = int(K)
@@ -160,6 +164,18 @@ class EnvCore:
         # mismatch criterion (ops/pallas_nr.nr_core).  True restores the
         # reference-faithful pivoted elimination (scipy spsolve pivots).
         self.nr_pivot = bool(nr_pivot)
+        # Warm-start each step's power flow from the previous step's solved
+        # bus voltages (per-lane best-of-{warm, flat} start; reborn and
+        # absorbing lanes flat-start; the convergence decision is untouched
+        # -- ops/power_flow.solve_pfe ``init``).  The reference flat-starts
+        # every solve (solve_load_flow.py:42; docs/quirks.md); the payoff
+        # is a smaller calibrated iteration budget per env.
+        self.warm_start = bool(warm_start)
+        if self.warm_start and pf_method in ("fused", "fused_hybrid"):
+            raise ValueError(
+                "warm_start is not supported on the fused whole-transition kernel "
+                "(pf_method=%r); use 'pallas'/'hybrid'/'tree'" % (pf_method,)
+            )
         # False => next_vars_fn ignores its PRNG key (deterministic process),
         # letting the batched path skip per-lane key splitting.
         self.stochastic_vars = stochastic_vars
@@ -227,7 +243,15 @@ class EnvCore:
         if isinstance(es, LeanEnvState):
             return es
         return LeanEnvState(
-            des_soc=es.sim.des_soc, aux=es.aux, terminated=es.terminated, state_vec=es.state_vec
+            des_soc=es.sim.des_soc,
+            aux=es.aux,
+            terminated=es.terminated,
+            state_vec=es.state_vec,
+            # The solved voltages are dynamics state (the next solve's warm
+            # start) only when warm-starting; otherwise leave them out so
+            # XLA can DCE them from the rollout.
+            bus_v_re=es.sim.bus_v_re if self.warm_start else None,
+            bus_v_im=es.sim.bus_v_im if self.warm_start else None,
         )
 
     def unlean(self, lean) -> EnvState:
@@ -238,6 +262,8 @@ class EnvCore:
         if isinstance(lean, EnvState):
             return lean
         sim = dataclasses.replace(zeros_state(self.spec), des_soc=lean.des_soc)
+        if lean.bus_v_re is not None:
+            sim = dataclasses.replace(sim, bus_v_re=lean.bus_v_re, bus_v_im=lean.bus_v_im)
         return EnvState(sim=sim, aux=lean.aux, terminated=lean.terminated, state_vec=lean.state_vec)
 
     def state_vec(self, es) -> jax.Array:
@@ -311,6 +337,7 @@ class EnvCore:
             chord_iters=self.chord_iters,
             chord_precision=self.chord_precision,
             nr_pivot=self.nr_pivot,
+            v_init=(es.sim.bus_v_re, es.sim.bus_v_im) if self.warm_start else None,
         )
 
         c1, c2 = self.costs_clipping

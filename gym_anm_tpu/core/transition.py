@@ -106,9 +106,10 @@ def resolve_solver_path(spec: GridSpec, pf_method: str, des_soc, P_load, *more):
 
     Returns ``(path, effective_pf_method, fused_tile)`` with ``path`` one of
     ``"fused_kernel"`` (whole-transition Pallas kernel),
-    ``"pallas_nr"`` (fused NR kernel), or ``"xla"`` (scan/while/chord
-    solver); ``effective_pf_method`` is ``pf_method`` after any fused->
-    pallas/hybrid downgrade.  This is the **single source of truth** for the
+    ``"pallas_nr"`` (fused NR kernel), ``"xla_tree"`` (tree-structured
+    block elimination for radial networks, ops/tree_nr.py), or ``"xla"``
+    (scan/while/chord solver); ``effective_pf_method`` is ``pf_method``
+    after any fused-> pallas/hybrid downgrade.  This is the **single source of truth** for the
     dispatch: :func:`transition` itself routes through it, and bench.py
     imports it for honest solver-dependent reporting -- the accounting can
     no longer drift from the real dispatch (it IS the real dispatch).
@@ -121,6 +122,8 @@ def resolve_solver_path(spec: GridSpec, pf_method: str, des_soc, P_load, *more):
     import jax
 
     eff = pf_method
+    if eff == "tree":
+        return "xla_tree", eff, None
     if eff in ("fused", "fused_hybrid"):
         from ..ops import pallas_step
 
@@ -265,6 +268,7 @@ def transition(
     chord_iters=16,
     chord_precision=None,
     nr_pivot=False,
+    v_init=None,
 ) -> TransitionResult:
     """One physics transition (simulator.py:464-537). All inputs in p.u.
 
@@ -280,17 +284,28 @@ def transition(
         Generator set-points.
     P_set_des, Q_set_des : [n_des]
         Storage set-points.
-    pf_method : {"scan", "while", "pallas", "hybrid", "xla_hybrid", "fused", "fused_hybrid"}
+    pf_method : {"scan", "while", "pallas", "hybrid", "xla_hybrid", "tree", "fused", "fused_hybrid"}
         NR loop style; "hybrid" prepends ``chord_iters`` constant-Jacobian
         chord iterations (matmul-only) before ``max_iter`` true-NR
         iterations, on both the Pallas and XLA paths; "xla_hybrid" is the
         same solver pinned to the XLA path (MXU chord matmuls, honors
         ``chord_precision``) even where the Pallas kernel applies.
+        "tree" runs true per-lane NR with the tree-structured block
+        elimination (radial networks only; O(n) per-lane solves --
+        ops/tree_nr.py), the scalable exact path at feeder141 size.
         "fused" / "fused_hybrid" run the *entire* transition (projection,
         SoC, bus aggregation, NR, branch flows, reward terms) as one
         Pallas kernel (ops/pallas_step.py) on the TPU fast path --
         identical math, falling back to "pallas" / "hybrid" when the
         kernel doesn't apply.
+    v_init : None or (bus_v_re, bus_v_im) with leading batch dims
+        Optional warm start for the power-flow solve, e.g. the previous
+        step's solved voltages (``SimState.bus_v_re/im``).  Per lane the
+        solver starts from whichever of {warm point, flat start} has the
+        smaller true mismatch; absorbing/reborn lanes (zero or
+        out-of-window voltages) flat-start automatically, and the
+        convergence decision is unchanged (true mismatch at ``x_tol``).
+        Unsupported on the fused whole-transition kernel.
     """
     import jax
 
@@ -298,6 +313,11 @@ def transition(
         spec, pf_method, des_soc, P_load, P_pot, P_set_gen, Q_set_gen, P_set_des, Q_set_des
     )
     if solver_path == "fused_kernel":
+        if v_init is not None:
+            raise ValueError(
+                "warm starts (v_init) are not supported on the fused whole-transition "
+                "kernel; use pf_method='pallas'/'hybrid'/'tree' for warm-started solves"
+            )
         from ..ops import pallas_step
         from ..ops.power_flow import flat_start_jacobian_inv_np
 
@@ -390,7 +410,21 @@ def transition(
         from ..ops.power_flow import flat_start_jacobian_inv_np
 
         J0inv = flat_start_jacobian_inv_np(spec.Y_re, spec.Y_im, dtype=spec.dtype)
-    if use_pallas:
+    if solver_path == "xla_tree":
+        from ..ops.tree_nr import build_tree_info, solve_pfe_tree
+
+        if not (isinstance(spec.Y_re, np.ndarray) and isinstance(spec.br_f, np.ndarray)):
+            raise ValueError("pf_method='tree' needs a static (NumPy-leaf) GridSpec")
+        tree = build_tree_info(spec.br_f, spec.br_t, spec.n_bus, spec.Y_re, spec.Y_im)
+        if tree is None:
+            raise ValueError(
+                "pf_method='tree' requires a radial network (a tree rooted at the "
+                "slack bus); this network is meshed or disconnected"
+            )
+        v_re, v_im, _, _, converged = solve_pfe_tree(
+            tree, p_in, q_in, x_tol=x_tol, max_iter=max_iter, init=v_init
+        )
+    elif use_pallas:
         from ..ops.pallas_nr import solve_pfe_pallas
 
         B = p_in.shape[0]
@@ -398,6 +432,7 @@ def transition(
         v_re, v_im, _, _, converged = solve_pfe_pallas(
             spec.Y_re, spec.Y_im, p_in, q_in, x_tol=x_tol, max_iter=max_iter, tile=tile,
             chord_iters=chord_iters if pf_method == "hybrid" else 0, J0inv=J0inv, pivot=nr_pivot,
+            init=v_init,
         )
     else:
         # "xla_hybrid" = the chord(+NR-tail) solver forced onto the XLA path
@@ -408,7 +443,7 @@ def transition(
         method = {"pallas": "scan", "xla_hybrid": "hybrid"}.get(pf_method, pf_method)
         v_re, v_im, _, _, converged = solve_pfe(
             spec.Y_re, spec.Y_im, p_in, q_in, x_tol=x_tol, max_iter=max_iter, method=method,
-            chord_iters=chord_iters, J0inv=J0inv, chord_precision=chord_precision,
+            chord_iters=chord_iters, J0inv=J0inv, chord_precision=chord_precision, init=v_init,
         )
 
     # Nodal currents I = Y V and slack power (solve_load_flow.py:54-72;

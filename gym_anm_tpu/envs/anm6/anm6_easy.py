@@ -147,19 +147,24 @@ class ANM6Easy(ANM6):
 
 
 def make_core(
-    dtype=None, pf_max_iter=10, pf_method="pallas", network=None, chord_precision=None, chord_iters=16,
-    nr_pivot=False,
+    dtype=None, pf_max_iter=None, pf_method="pallas", network=None, chord_precision=None, chord_iters=16,
+    nr_pivot=False, warm_start=False,
 ):
     """Build the pure-functional ANM6Easy :class:`EnvCore` (no Gymnasium
     adapter, no host hooks) -- the batched/vmapped fast path used by
     :class:`gym_anm_tpu.envs.batched.BatchedEnv` and the benchmarks.
 
-    ``pf_max_iter=10``: measured over 10k uniform-random-action steps, every
-    converging Newton-Raphson solve on this task finishes in <= 8 iterations
-    (p99.9 = 6); NR either converges quadratically within that budget or
-    diverges, so 10 fixed masked iterations reproduce the reference's
-    100-cap semantics on the straight-line TPU path.  Pass
-    ``pf_max_iter=100, pf_method="while"`` for the exact host semantics.
+    ``pf_max_iter=None`` auto-selects the calibrated budget of 10: measured
+    over 10k uniform-random-action steps, every converging Newton-Raphson
+    solve on this task finishes in <= 8 iterations (p99.9 = 6); NR either
+    converges quadratically within that budget or diverges, so 10 fixed
+    masked iterations reproduce the reference's 100-cap semantics on the
+    straight-line TPU path.  Pass ``pf_max_iter=100, pf_method="while"``
+    for the exact host semantics.  ``warm_start`` keeps the same budget:
+    measured with scripts/warm_calib.py, warm starting saves no iterations
+    here (flat-start NR is already at p50 = 3 and the uniform-random
+    actions move the operating point too much) -- a measured dead end kept
+    available for smoother action distributions.
 
     ``network`` overrides the canonical 6-bus dict (same topology/device
     layout required) -- used for domain randomization over grid parameters
@@ -173,6 +178,8 @@ def make_core(
 
     if network is None:
         network = _canonical_network
+    if pf_max_iter is None:
+        pf_max_iter = 10
     spec, _ = build_grid(network, delta_t=0.25, lamb=100, dtype=dtype)
     # Host numpy constants (NOT eager device arrays): the task hooks close
     # over these tables, so they must fold into traced programs without a
@@ -194,6 +201,7 @@ def make_core(
         chord_iters=chord_iters,
         chord_precision=chord_precision,
         nr_pivot=nr_pivot,
+        warm_start=warm_start,
         stochastic_vars=False,  # deterministic table lookup by time-of-day
         # Measured over 10k sampled initial states: every ANM6Easy s0
         # converges on attempt 1 (the profiles are mild), so the reset

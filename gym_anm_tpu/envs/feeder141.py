@@ -150,24 +150,34 @@ class Feeder141Env(Feeder33Env):
 
 def make_core(
     dtype=None, pf_max_iter=None, pf_method="hybrid", chord_iters=28, x_tol=None, chord_precision=None,
-    nr_pivot=False,
+    nr_pivot=False, warm_start=False,
 ):
     """Pure-functional EnvCore for the 141-bus network.
 
-    Default solver: **chord-only** (``pf_method="hybrid"`` with a zero
-    true-NR tail) — the only power-flow formulation that scales to this
-    size on TPU.  Per-lane-Jacobian NR needs a [560, 560, B] tensor (20 GB
-    at B=4096: more than HBM) and per-lane eliminations; the chord method
-    is one constant [560, 560] x [560, B] matmul per iteration (pure MXU)
-    with convergence masking.  Budgets from this network's harsh
-    random-injection sweep (per-bus aggregate bounds, the protocol of
-    ``scripts/chord_proto.py``): flat-start NR converges in p100 = 3
-    iterations and chord in p100 = 5, on 100% of lanes; the default runs
-    28 chord iterations (5.6x the measured p100).  Lanes that diverge or
-    stall are flagged unconverged (grid collapse), exactly like NR budget
-    exhaustion; termination decisions match per-lane NR everywhere on the
-    sweep.  ``pf_method="scan"`` (budget 6 = 2x measured p100) keeps true
-    per-lane NR available for small-batch/CPU verification.
+    Scalable solvers at this size:
+
+    * ``pf_method="tree"`` — **true per-lane NR** via the radial
+      tree-structured block elimination (ops/tree_nr.py): O(n) per-lane
+      solves and sparse Y V products, no [560, 560, B] Jacobian, no
+      560-wide dense elimination.  Exact (same solution as per-lane NR to
+      round-off) with a calibrated budget of 18 iterations
+      (rollout-measured p100 = 15 including termination-adjacent lanes,
+      scripts/warm_calib.py; random-injection-sweep interior lanes need
+      only ~3).  ``warm_start`` keeps the same budget (measured: no
+      iteration savings under per-step injection jumps).
+    * ``pf_method="hybrid"`` (default) — **chord-only** (zero true-NR
+      tail): one constant [560, 560] x [560, B] MXU matmul per iteration
+      with convergence masking; 28 iterations (5.6x the measured chord
+      p100 = 5).  Inexact in the sense that lanes the chord method cannot
+      converge are flagged terminated even if true NR would converge them
+      (termination decisions nonetheless match per-lane NR everywhere on
+      the sweep, and the tree path now provides the exact fallback).
+
+    Budgets from this network's harsh random-injection sweep (per-bus
+    aggregate bounds, the protocol of ``scripts/chord_proto.py``).  Lanes
+    that diverge or stall are flagged unconverged (grid collapse), exactly
+    like NR budget exhaustion.  ``pf_method="scan"`` (budget 6) keeps
+    dense per-lane NR available for small-batch/CPU verification.
 
     The fused Pallas paths are unavailable here: a 560x560 per-lane
     Jacobian tile does not fit VMEM (they are built for <=64x64 networks).
@@ -175,10 +185,15 @@ def make_core(
     if pf_method in ("pallas", "fused", "fused_hybrid"):
         raise ValueError(
             f"pf_method={pf_method!r} unsupported at 141 buses: per-lane 560x560 "
-            "Jacobian tiles exceed VMEM. Use 'hybrid' (default, chord-only) or 'scan'."
+            "Jacobian tiles exceed VMEM. Use 'tree' (exact), 'hybrid' (chord-only) or 'scan'."
         )
     if pf_max_iter is None:
-        pf_max_iter = 0 if pf_method in ("hybrid", "xla_hybrid") else 6
+        if pf_method in ("hybrid", "xla_hybrid"):
+            pf_max_iter = 0
+        elif pf_method == "tree":
+            pf_max_iter = 18
+        else:
+            pf_max_iter = 6
     if x_tol is None:
         # The chord iteration plateaus just above the reference's 1e-5 on
         # marginal (full-load) lanes in float32 -- TPU rounding then flags
@@ -204,5 +219,5 @@ def make_core(
         chord_precision = "default"
     return _feeder_make_core(
         dtype=dtype, pf_max_iter=pf_max_iter, pf_method=pf_method, network=_NETWORK, chord_iters=chord_iters,
-        x_tol=x_tol, chord_precision=chord_precision, nr_pivot=nr_pivot,
+        x_tol=x_tol, chord_precision=chord_precision, nr_pivot=nr_pivot, warm_start=warm_start,
     )

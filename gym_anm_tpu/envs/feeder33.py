@@ -141,6 +141,7 @@ def make_core(
     x_tol=1e-5,
     chord_precision=None,
     nr_pivot=False,
+    warm_start=False,
 ):
     """Pure-functional EnvCore for the feeder (batched fast path).
 
@@ -151,11 +152,22 @@ def make_core(
     chord phase is worth 2.3x measured end-to-end throughput; a tail of 5
     still reproduces pure-NR termination decisions exactly over ~2.6M
     benchmark solves (tail 6 adds one iteration of margin for restarted
-    lanes).  ``pf_max_iter=None`` auto-selects the calibrated budget: 6
-    (tail) for hybrid, 15 for pure NR (measured flat-start p100 = 6, with
-    margin)."""
+    lanes).  ``pf_method="tree"`` runs true per-lane NR with the radial
+    tree elimination (O(n) per-lane solves, ops/tree_nr.py) -- an *exact*
+    solver whose per-iteration cost is far below the dense elimination the
+    chord phase exists to avoid.  ``pf_max_iter=None`` auto-selects the
+    calibrated budget: 6 (tail) for hybrid, 10 for tree (rollout-measured
+    p100 = 6 incl. termination-adjacent lanes, +4 margin --
+    scripts/warm_calib.py), 15 for dense pure NR.  ``warm_start`` keeps
+    the same budgets (measured: warm starting saves no iterations on this
+    task's per-step injection jumps -- see scripts/warm_calib.py)."""
     if pf_max_iter is None:
-        pf_max_iter = 6 if pf_method in ("hybrid", "xla_hybrid", "fused_hybrid") else 15
+        if pf_method in ("hybrid", "xla_hybrid", "fused_hybrid"):
+            pf_max_iter = 6
+        elif pf_method == "tree":
+            pf_max_iter = 10
+        else:
+            pf_max_iter = 15
     from ..core.env_core import EnvCore
     from ..core.grid import build_grid
     from ..core.obs import state_values_spec
@@ -212,6 +224,7 @@ def make_core(
         chord_precision=chord_precision,
         x_tol=x_tol,
         nr_pivot=nr_pivot,
+        warm_start=warm_start,
         # Feeder initial states (loads at 0.3-0.9x peak) essentially always
         # converge; one masked retry round covers the tail without the old
         # 10x statically-unrolled reset sweep.

@@ -33,11 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE = 512  # environments per grid program (multiple of 128)
 
 
-def nr_core(Yre, Yim, J0inv, p, q, *, x_tol, max_iter, chord_iters, pivot=False):
+def nr_core(Yre, Yim, J0inv, p, q, *, x_tol, max_iter, chord_iters, pivot=False, init=None):
     """Lane-major fixed-iteration NR solve on VMEM-resident arrays.
 
     Parameters: ``Yre/Yim [n, n]``, ``J0inv [2m, 2m]`` (used when
     ``chord_iters > 0``), ``p/q [m, TB]`` non-slack injections.
+    ``init`` optionally supplies a warm start ``(theta [m, TB], vm [m, TB])``
+    (e.g. the previous step's solution, pre-sanitized by
+    ``ops.power_flow.warm_init_theta_vm``): each lane starts from whichever
+    of {warm point, flat start} has the smaller true mismatch, and the
+    convergence decision is unchanged (true mismatch at ``x_tol``).
     Returns ``(vr, vi, ir, ii, diff, it)`` -- final bus voltages, the
     matching nodal currents I = YV, the per-lane mismatch inf-norm, and the
     per-lane iteration count.  The currents are carried consistently with
@@ -135,13 +140,31 @@ def nr_core(Yre, Yim, J0inv, p, q, *, x_tol, max_iter, chord_iters, pivot=False)
             x = jnp.where(rr == k, val[None, :], x)
         return x
 
-    theta0 = jnp.zeros((m, TB), fdt)
-    vm0 = jnp.ones((m, TB), fdt)
-    vr0, vi0 = construct_v(theta0, vm0)
-    ir0, ii0 = yv(vr0, vi0)
-    F0 = mismatch(vr0, vi0, ir0, ii0)
-    diff0 = jnp.max(jnp.abs(F0), axis=0)  # [TB]
+    theta_f = jnp.zeros((m, TB), fdt)
+    vm_f = jnp.ones((m, TB), fdt)
+    vr_f, vi_f = construct_v(theta_f, vm_f)
+    ir_f, ii_f = yv(vr_f, vi_f)
+    F_f = mismatch(vr_f, vi_f, ir_f, ii_f)
+    diff_f = jnp.max(jnp.abs(F_f), axis=0)  # [TB]
     it0 = jnp.zeros((TB,), jnp.int32)
+
+    if init is not None:
+        theta_w, vm_w = init
+        vr_w, vi_w = construct_v(theta_w, vm_w)
+        ir_w, ii_w = yv(vr_w, vi_w)
+        F_w = mismatch(vr_w, vi_w, ir_w, ii_w)
+        diff_w = jnp.max(jnp.abs(F_w), axis=0)
+        use_w = jnp.isfinite(diff_w) & (diff_w < diff_f)
+        wm = use_w[None, :]
+        theta0 = jnp.where(wm, theta_w, theta_f)
+        vm0 = jnp.where(wm, vm_w, vm_f)
+        F0 = jnp.where(wm, F_w, F_f)
+        diff0 = jnp.where(use_w, diff_w, diff_f)
+        ir0 = jnp.where(wm, ir_w, ir_f)
+        ii0 = jnp.where(wm, ii_w, ii_f)
+    else:
+        theta0, vm0, F0, diff0 = theta_f, vm_f, F_f, diff_f
+        ir0, ii0 = ir_f, ii_f
 
     if chord_iters > 0:
         # Chord phase: x <- x - J0^{-1} F(x) with the constant flat-start
@@ -167,13 +190,14 @@ def nr_core(Yre, Yim, J0inv, p, q, *, x_tol, max_iter, chord_iters, pivot=False)
         theta_c, vm_c, F_c, diff_c, it0 = lax.fori_loop(
             0, chord_iters, chord_body, (theta0, vm0, F0, diff0, it0)
         )
-        # Worsened/NaN lanes restart the NR tail from the flat start.
+        # Worsened/NaN lanes restart the NR tail from the flat start (not
+        # the possibly-warm phase start).
         bad = ~jnp.isfinite(diff_c) | (diff_c > diff0)
         bm = bad[None, :]
-        theta0 = jnp.where(bm, theta0, theta_c)
-        vm0 = jnp.where(bm, vm0, vm_c)
-        F0 = jnp.where(bm, F0, F_c)
-        diff0 = jnp.where(bad, diff0, diff_c)
+        theta0 = jnp.where(bm, theta_f, theta_c)
+        vm0 = jnp.where(bm, vm_f, vm_c)
+        F0 = jnp.where(bm, F_f, F_c)
+        diff0 = jnp.where(bad, diff_f, diff_c)
         vr0, vi0 = construct_v(theta0, vm0)
         ir0, ii0 = yv(vr0, vi0)
 
@@ -242,9 +266,13 @@ def nr_flops_per_lane(n: int, max_iter: int, chord_iters: int = 0, pivot: bool =
     return setup + chord_iters * chord_iter + max_iter * nr_iter
 
 
-def _nr_tile_kernel(
-    Yre_ref, Yim_ref, J0inv_ref, p_ref, q_ref, vr_ref, vi_ref, diff_ref, it_ref, *, n, x_tol, max_iter, chord_iters, pivot
-):
+def _nr_tile_kernel(*refs, n, x_tol, max_iter, chord_iters, pivot, warm):
+    if warm:
+        Yre_ref, Yim_ref, J0inv_ref, p_ref, q_ref, th_ref, vm_ref, vr_ref, vi_ref, diff_ref, it_ref = refs
+        init = (th_ref[:], vm_ref[:])
+    else:
+        Yre_ref, Yim_ref, J0inv_ref, p_ref, q_ref, vr_ref, vi_ref, diff_ref, it_ref = refs
+        init = None
     vr, vi, _, _, diff, it = nr_core(
         Yre_ref[:],
         Yim_ref[:],
@@ -255,6 +283,7 @@ def _nr_tile_kernel(
         max_iter=max_iter,
         chord_iters=chord_iters,
         pivot=pivot,
+        init=init,
     )
     vr_ref[:] = vr
     vi_ref[:] = vi
@@ -264,7 +293,8 @@ def _nr_tile_kernel(
 
 @functools.partial(jax.jit, static_argnames=("x_tol", "max_iter", "tile", "chord_iters", "pivot"))
 def solve_pfe_pallas(
-    Y_re, Y_im, p, q, x_tol=1e-5, max_iter=10, tile=DEFAULT_TILE, chord_iters=0, J0inv=None, pivot=False
+    Y_re, Y_im, p, q, x_tol=1e-5, max_iter=10, tile=DEFAULT_TILE, chord_iters=0, J0inv=None, pivot=False,
+    init=None,
 ):
     """Batched NR solve via the fused VMEM kernel.
 
@@ -276,6 +306,10 @@ def solve_pfe_pallas(
     re-deriving it from Y inside this jit, where Y is a tracer and the
     inversion cannot constant-fold (callers with a static GridSpec should
     always pass it -- see core/transition.py).
+    ``init`` optionally warm-starts each lane from previous bus voltages
+    ``(v_re [B, n], v_im [B, n])``: sanitized outside the kernel
+    (``warm_init_theta_vm``), best-of-{warm, flat} selected inside it --
+    see :func:`nr_core`.
     Returns (v_re [B, n], v_im [B, n], diff [B], n_iter [B], converged [B]).
     """
     B, m = p.shape
@@ -290,25 +324,37 @@ def solve_pfe_pallas(
         J0inv = flat_start_jacobian_inv(Y_re.astype(p.dtype), Y_im.astype(p.dtype))
     J0inv = jnp.asarray(J0inv, dtype=p.dtype)
 
+    warm = init is not None
+    ins = [Y_re.astype(p.dtype), Y_im.astype(p.dtype), J0inv, pT, qT]
+    lane_spec = lambda rows: pl.BlockSpec((rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * m, 2 * m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        lane_spec(m),
+        lane_spec(m),
+    ]
+    if warm:
+        from .power_flow import warm_init_theta_vm
+
+        theta_w, vm_w, _ = warm_init_theta_vm(init[0], init[1], m, p.dtype)  # [m, B]
+        ins += [theta_w, vm_w]
+        in_specs += [lane_spec(m), lane_spec(m)]
+
     grid = (B // tile,)
     kernel = functools.partial(
-        _nr_tile_kernel, n=n, x_tol=x_tol, max_iter=max_iter, chord_iters=chord_iters, pivot=pivot
+        _nr_tile_kernel, n=n, x_tol=x_tol, max_iter=max_iter, chord_iters=chord_iters, pivot=pivot,
+        warm=warm,
     )
     vr, vi, diff, it = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * m, 2 * m), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            lane_spec(n),
+            lane_spec(n),
+            lane_spec(1),
+            lane_spec(1),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, B), p.dtype),
@@ -316,7 +362,7 @@ def solve_pfe_pallas(
             jax.ShapeDtypeStruct((1, B), p.dtype),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
-    )(Y_re.astype(p.dtype), Y_im.astype(p.dtype), J0inv, pT, qT)
+    )(*ins)
     diff = diff[0]
     converged = diff <= x_tol
     return vr.T, vi.T, diff, it[0], converged

@@ -227,6 +227,31 @@ def flat_start_jacobian_inv(Y_re, Y_im):
     return jnp.linalg.inv(J0)
 
 
+def warm_init_theta_vm(v_re, v_im, m, dt):
+    """Per-lane (theta, vm, valid) from previous-step bus voltages.
+
+    ``v_re/v_im [..., n]`` (batch-first, the layout solvers return and
+    ``SimState`` stores).  Returns batch-LAST ``theta/vm [m, B]`` plus a
+    per-lane ``valid [B]`` mask: a lane is a usable warm start only when
+    every bus voltage is finite and its magnitude is within a wide
+    physical window (0.25..4 p.u.) -- absorbing zero states (terminated
+    lanes), uninitialized lanes, and diverged solutions all fail the
+    window and fall back to the flat start.  The *convergence* decision is
+    never affected: it stays on the true mismatch at ``x_tol``
+    (solve_load_flow.py:176-226), identical to a flat-start solve.
+    """
+    vr = jnp.moveaxis(jnp.asarray(v_re, dt), -1, 0)[1:]  # [m, B]
+    vi = jnp.moveaxis(jnp.asarray(v_im, dt), -1, 0)[1:]
+    vm = jnp.sqrt(vr * vr + vi * vi)
+    theta = jnp.arctan2(vi, vr)
+    finite = jnp.all(jnp.isfinite(vr) & jnp.isfinite(vi), axis=0)
+    window = jnp.all((vm > 0.25) & (vm < 4.0), axis=0)
+    valid = finite & window
+    theta = jnp.where(valid[None, :], theta, 0.0)
+    vm = jnp.where(valid[None, :], vm, 1.0)
+    return theta, vm, valid
+
+
 @partial(jax.jit, static_argnames=("max_iter", "method", "chord_iters", "chord_precision"))
 def solve_pfe(
     Y_re,
@@ -239,6 +264,7 @@ def solve_pfe(
     chord_iters=16,
     J0inv=None,
     chord_precision=None,
+    init=None,
 ):
     """Newton-Raphson solve of the AC power-flow equations.
 
@@ -277,6 +303,19 @@ def solve_pfe(
         +30% end-to-end throughput on the 141-bus chord-only path with the
         on-chip parity check unchanged (RESULTS.md round 2).
 
+    init : None or (v_re, v_im) with the batch layout of the returned
+        voltages ([B, n] / [n])
+        Optional warm start, e.g. the previous step's solved bus voltages
+        (``SimState.bus_v_re/im``).  Each lane starts from whichever of
+        {warm point, flat start} has the smaller true mismatch (so a
+        warm-started solve never starts worse than flat), lanes with
+        non-finite/out-of-window voltages (absorbing zero states, reborn
+        lanes) flat-start, and the convergence decision is unchanged: the
+        true mismatch at ``x_tol``.  The reference flat-starts every solve
+        (solve_load_flow.py:42) -- a per-step choice, not a semantic
+        requirement, since the fixed point is the same; semantics drift is
+        quantified by ``bench.py --check`` (docs/quirks.md).
+
     Returns ``(v_re, v_im, diff, n_iter, converged)`` with the same batch
     layout as the inputs ([B, n] / [B] when batched).
     """
@@ -290,12 +329,35 @@ def solve_pfe(
     pT, qT = p.T, q.T  # [m, B]
     B = pT.shape[1]
 
-    theta0 = jnp.zeros((m, B), dtype=dt)
-    vm0 = jnp.ones((m, B), dtype=dt)
-    vr0, vi0 = _construct_v(theta0, vm0)
-    ivr0, ivi0 = _yv(Y_re, Y_im, vr0, vi0)
-    F0 = _mismatch(vr0, vi0, ivr0, ivi0, pT, qT)
-    diff0 = jnp.max(jnp.abs(F0), axis=0)  # [B]
+    theta_f = jnp.zeros((m, B), dtype=dt)
+    vm_f = jnp.ones((m, B), dtype=dt)
+    vr_f, vi_f = _construct_v(theta_f, vm_f)
+    ivr_f, ivi_f = _yv(Y_re, Y_im, vr_f, vi_f)
+    F_f = _mismatch(vr_f, vi_f, ivr_f, ivi_f, pT, qT)
+    diff_f = jnp.max(jnp.abs(F_f), axis=0)  # [B]
+
+    if init is not None:
+        v0r, v0i = init
+        if single:
+            v0r, v0i = v0r[None, :], v0i[None, :]
+        theta_w, vm_w, _ = warm_init_theta_vm(v0r, v0i, m, dt)
+        vr_w, vi_w = _construct_v(theta_w, vm_w)
+        ivr_w, ivi_w = _yv(Y_re, Y_im, vr_w, vi_w)
+        F_w = _mismatch(vr_w, vi_w, ivr_w, ivi_w, pT, qT)
+        diff_w = jnp.max(jnp.abs(F_w), axis=0)
+        use_w = jnp.isfinite(diff_w) & (diff_w < diff_f)
+        wm = use_w[None, :]
+        theta0 = jnp.where(wm, theta_w, theta_f)
+        vm0 = jnp.where(wm, vm_w, vm_f)
+        F0 = jnp.where(wm, F_w, F_f)
+        diff0 = jnp.where(use_w, diff_w, diff_f)
+        ivr0 = jnp.where(wm, ivr_w, ivr_f)
+        ivi0 = jnp.where(wm, ivi_w, ivi_f)
+        vr0 = jnp.where(wm, vr_w, vr_f)
+        vi0 = jnp.where(wm, vi_w, vi_f)
+    else:
+        theta0, vm0, F0, diff0 = theta_f, vm_f, F_f, diff_f
+        vr0, vi0, ivr0, ivi0 = vr_f, vi_f, ivr_f, ivi_f
 
     if chord_precision is None:
         chord_precision = CHORD_PRECISION
@@ -331,14 +393,16 @@ def solve_pfe(
         (theta_c, vm_c, F_c, diff_c, n_chord), _ = lax.scan(
             chord_body, (theta0, vm0, F0, diff0, n_chord), None, length=chord_iters
         )
-        # Lanes the chord phase failed to improve restart NR from the flat
-        # start; improved-but-unconverged lanes hand their iterate to NR.
+        # Lanes the chord phase failed to improve restart NR from the FLAT
+        # start (not the possibly-warm phase start -- if a warm point misled
+        # the chord, flat is the reference-faithful fallback);
+        # improved-but-unconverged lanes hand their iterate to NR.
         bad = ~jnp.isfinite(diff_c) | (diff_c > diff0)
         bm = bad[None, :]
-        theta0 = jnp.where(bm, theta0, theta_c)
-        vm0 = jnp.where(bm, vm0, vm_c)
-        F0 = jnp.where(bm, F0, F_c)
-        diff0 = jnp.where(bad, diff0, diff_c)
+        theta0 = jnp.where(bm, theta_f, theta_c)
+        vm0 = jnp.where(bm, vm_f, vm_c)
+        F0 = jnp.where(bm, F_f, F_c)
+        diff0 = jnp.where(bad, diff_f, diff_c)
         vr0, vi0 = _construct_v(theta0, vm0)
         ivr0, ivi0 = _yv(Y_re, Y_im, vr0, vi0)
 
