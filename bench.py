@@ -149,6 +149,51 @@ def kernel_flops_per_env_step(core, solver_path, pf_method):
     return 0
 
 
+def roofline_probes(iters=6):
+    """Measured attainable rates on this chip: f32 elementwise FLOP/s (a
+    high-arithmetic-intensity fused FMA chain -- the VPU ceiling that bounds
+    the NR kernels) and HBM stream bandwidth (a chained one-pass add).
+
+    Empirical by design: published peak numbers describe the MXU's bf16
+    systolic array, which is the wrong ceiling for the f32 VPU work the
+    solvers are made of, and the tunneled runtime adds per-call latency that
+    only pipelined measurement cancels.  Each probe dispatches ``iters``
+    chained program calls and blocks once (same protocol as the headline).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    U = 128  # unrolled FMAs per element per pass: intensity ~64 flop/byte
+    x = jnp.ones((1024, 8192), jnp.float32)  # 32 MB
+
+    def fma_pass(_, y):
+        for _ in range(U):
+            y = y * 1.0000001 + 1e-7
+        return y
+
+    f = jax.jit(lambda x: lax.fori_loop(0, 32, fma_pass, x))
+    x = f(x)
+    jax.block_until_ready(x)  # compile + warm
+    t0 = time.time()
+    for _ in range(iters):
+        x = f(x)
+    jax.block_until_ready(x)
+    vpu = iters * 32 * U * 2 * x.size / (time.time() - t0)
+
+    big = jnp.ones((64, 1024, 1024), jnp.float32)  # 256 MB
+
+    g = jax.jit(lambda a: lax.fori_loop(0, 16, lambda i, b: b + 1.0, a))
+    big = g(big)
+    jax.block_until_ready(big)
+    t0 = time.time()
+    for _ in range(iters):
+        big = g(big)
+    jax.block_until_ready(big)
+    hbm = iters * 16 * 2 * big.size * 4 / (time.time() - t0)
+    return vpu, hbm
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
@@ -159,10 +204,38 @@ def main():
     ap.add_argument(
         "--pf",
         default=None,
-        choices=["pallas", "scan", "hybrid", "xla_hybrid", "fused", "fused_hybrid"],
+        choices=["pallas", "scan", "hybrid", "xla_hybrid", "tree", "fused", "fused_hybrid"],
         help="NR solver path ('fused*' = whole-transition Pallas kernel; "
-        "'xla_hybrid' = the chord(+tail) solver pinned to the XLA/MXU path); "
+        "'xla_hybrid' = the chord(+tail) solver pinned to the XLA/MXU path; "
+        "'tree' = true per-lane NR via the radial tree elimination); "
         "default: the env's calibrated solver (pallas for anm6easy, hybrid for feeder33)",
+    )
+    warm_group = ap.add_mutually_exclusive_group()
+    warm_group.add_argument(
+        "--warm",
+        action="store_true",
+        dest="warm",
+        default=None,
+        help="warm-start each step's power flow from the previous step's solved "
+        "voltages (per-lane best-of-{warm, flat}; reborn/absorbing lanes flat-start; "
+        "convergence stays on the true mismatch at x_tol). Measured: saves no "
+        "iterations under uniform-random actions (scripts/warm_calib.py), kept for "
+        "ablations.",
+    )
+    warm_group.add_argument("--no-warm", action="store_false", dest="warm")
+    ap.add_argument(
+        "--json-out",
+        default=None,
+        metavar="PATH",
+        help="also write the result + detail JSON to PATH (the committed "
+        "BENCH_local_*.json artifacts RESULTS.md cites)",
+    )
+    ap.add_argument(
+        "--roofline",
+        action="store_true",
+        help="measure the chip's attainable f32-VPU FLOP/s and HBM stream bandwidth "
+        "with two microprobes and report this config's roofline bound + fraction "
+        "(see roofline_* detail fields)",
     )
     ap.add_argument("--env", default="anm6easy", choices=["anm6easy", "feeder33", "feeder141"])
     ap.add_argument("--tail", type=int, default=None, help="NR iteration budget (tail for --pf hybrid)")
@@ -262,6 +335,8 @@ def main():
         kw["chord_iters"] = args.chord_iters
     if args.pivot is not None:
         kw["nr_pivot"] = bool(args.pivot)
+    if args.warm is not None:
+        kw["warm_start"] = bool(args.warm)
     if args.tail is not None:
         kw["pf_max_iter"] = args.tail
     elif args.pf in ("hybrid", "xla_hybrid", "fused_hybrid") and args.env == "anm6easy":
@@ -292,12 +367,15 @@ def main():
     # Pallas custom calls) + the analytic count of the kernel's work.
     flops_per_program = None
     xla_flops = None
+    xla_bytes = None
     try:
         ca = run.lower(es, k_run).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         if ca and "flops" in ca:
             xla_flops = float(ca["flops"])
+        if ca and "bytes accessed" in ca:
+            xla_bytes = float(ca["bytes accessed"])
     except Exception:
         pass
     # Pallas kernel work per env step (analytic; ops/pallas_nr.py
@@ -324,6 +402,15 @@ def main():
         chord = core.chord_iters if args.pf in ("hybrid", "xla_hybrid", "fused_hybrid") else 0
         xla_loop_flops_step = nr_flops_per_lane(
             core.spec.n_bus, core.max_iter, chord, pivot=True
+        ) * transitions_per_step
+    elif solver_path == "xla_tree":
+        from gym_anm_tpu.ops.tree_nr import build_tree_info, tree_nr_flops_per_lane
+
+        _tree = build_tree_info(
+            core.spec.br_f, core.spec.br_t, core.spec.n_bus, core.spec.Y_re, core.spec.Y_im
+        )
+        xla_loop_flops_step = tree_nr_flops_per_lane(
+            core.spec.n_bus, core.max_iter, maxC=_tree.ch_eo.shape[1], warm=core.warm_start
         ) * transitions_per_step
     analytic_flops = (kflops_step + xla_loop_flops_step) * args.batch * args.steps
     if xla_flops is not None:
@@ -422,6 +509,52 @@ def main():
                 "XLA cost analysis counts loop bodies once; NR/chord loop work added analytically"
             )
 
+    if args.roofline:
+        # Attainable-bound model per solver path (VERDICT r3 #8): classify
+        # the work onto the three resources and take the classic-roofline
+        # max-time bound (units fully overlap -- optimistic, so the
+        # reported fraction is a lower bound on true saturation).
+        #   * Pallas-kernel + tree-loop flops: f32 VPU (measured probe).
+        #   * XLA chord-loop flops (feeder141 hybrid): MXU at the chord
+        #     precision (197 Tf/s bf16 1-pass; /6 for f32-exact 6-pass).
+        #   * Remaining XLA-counted flops: VPU (conservative -- most are
+        #     elementwise env physics; the few HIGHEST einsums are small).
+        #   * Bytes: XLA cost-analysis "bytes accessed" + the kernels'
+        #     lane-tile in/out traffic, against the measured HBM stream rate.
+        vpu_meas, hbm_meas = roofline_probes()
+        BT = args.batch * args.steps
+        vpu_fs = float(kflops_step)
+        mxu_fs = 0.0
+        if solver_path == "xla":
+            chordp = str(core.chord_precision or "highest")
+            mxu_fs = float(xla_loop_flops_step)
+            mxu_peak = 1.97e14 if chordp == "default" else 1.97e14 / 6
+        else:
+            vpu_fs += float(xla_loop_flops_step)
+            mxu_peak = 1.97e14
+        if xla_flops is not None:
+            vpu_fs += xla_flops / BT
+        bytes_step = 0.0
+        if xla_bytes is not None:
+            bytes_step += xla_bytes / BT
+        if kflops_step:
+            m_ = core.spec.n_bus - 1
+            bytes_step += (2 * m_ + 2 * (m_ + 1) + 2) * 4 * transitions_per_step
+        t_vpu = vpu_fs / vpu_meas
+        t_mxu = mxu_fs / mxu_peak
+        t_hbm = bytes_step / hbm_meas
+        bound = 1.0 / max(t_vpu, t_mxu, t_hbm, 1e-30)
+        detail["roofline"] = {
+            "vpu_f32_tflops_meas": round(vpu_meas / 1e12, 3),
+            "hbm_gbs_meas": round(hbm_meas / 1e9, 1),
+            "vpu_flops_per_step": round(vpu_fs, 1),
+            "mxu_flops_per_step": round(mxu_fs, 1),
+            "bytes_per_step": round(bytes_step, 1),
+            "binding_resource": ["vpu", "mxu", "hbm"][int(np.argmax([t_vpu, t_mxu, t_hbm]))],
+            "bound_steps_per_s": round(bound, 1),
+            "roofline_frac": round(sps / bound, 4),
+        }
+
     if args.check:
         # On-chip trajectory parity: replay the committed host-f64 fixed
         # (s0, actions, vars) trajectory through solver paths for this env
@@ -456,6 +589,14 @@ def main():
         result["parity_pass"] = detail["parity"]["pass"]
     print(json.dumps(result))
     print(json.dumps({"detail": detail}), file=sys.stderr)
+    if args.json_out:
+        # The committed artifact RESULTS.md cites: result + full detail +
+        # the exact invocation, one self-describing JSON file.
+        with open(args.json_out, "w") as fh:
+            json.dump(
+                {**result, "argv": sys.argv[1:], "env": args.env, "detail": detail}, fh, indent=1
+            )
+            fh.write("\n")
 
 
 if __name__ == "__main__":

@@ -580,7 +580,7 @@ class MPCAgent:
         residual tolerance suggests)."""
         return 5e-5 if jax.config.jax_enable_x64 else 5e-4
 
-    def solve_batch(self, load_forecasts, gen_forecasts, init_socs, warm_start=False):
+    def solve_batch(self, load_forecasts, gen_forecasts, init_socs, warm_start=False, sharding=None):
         """Solve the N-stage DC-OPF for a batch of B environment lanes.
 
         Parameters
@@ -599,6 +599,12 @@ class MPCAgent:
         of the cold-start chunk budget (with an automatic full-budget
         fallback when the residual check fails, e.g. after a large state
         jump).  The carry is invalidated when the batch size changes.
+
+        ``sharding`` (optional, a ``jax.sharding.Sharding`` over the lane
+        axis, e.g. ``NamedSharding(mesh, P("dp"))``) places the assembled
+        per-lane bounds on a device mesh before the ADMM solve: the lanes
+        are independent, so the solver data-parallelizes with no
+        collectives.  Call under ``jax.sharding.use_mesh(mesh)``.
         """
         load_forecasts = np.asarray(load_forecasts, dtype=float)
         gen_forecasts = np.asarray(gen_forecasts, dtype=float)
@@ -614,6 +620,11 @@ class MPCAgent:
             elif kind == "soc_init":
                 lv[:, r] = uv[:, r] = init_socs[:, i]
 
+        if sharding is not None:
+            import jax
+
+            lv = jax.device_put(lv, sharding)
+            uv = jax.device_put(uv, sharding)
         warm = getattr(self, "_warm_carry", None)
         if not warm_start:
             warm = None

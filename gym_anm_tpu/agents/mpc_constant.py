@@ -21,7 +21,7 @@ class MPCAgentConstant(MPCAgent):
         P_gen_forecast = np.array([P_gen_forecast for _ in range(self.planning_steps)]).T
         return P_load_forecast, P_gen_forecast
 
-    def act_batch(self, state_vecs, warm_start=False):
+    def act_batch(self, state_vecs, warm_start=False, sharding=None):
         """Batched policy over B environment lanes.
 
         ``state_vecs [B, state_n]`` are canonical state vectors (as returned
@@ -42,4 +42,4 @@ class MPCAgentConstant(MPCAgent):
         N = self.planning_steps
         load_f = np.repeat(loads[:, :, None], N, axis=2)
         gen_f = np.repeat(p_pot[:, :, None], N, axis=2)
-        return self.solve_batch(load_f, gen_f, socs, warm_start=warm_start)
+        return self.solve_batch(load_f, gen_f, socs, warm_start=warm_start, sharding=sharding)

@@ -1,15 +1,32 @@
-"""A minimal exact-QP stand-in for cvxpy, sufficient for the reference's
-``map_pq`` projections (min ||x - point||^2  s.t.  G x <= h  with x in R^2).
+"""An exact stand-in for cvxpy, sufficient for everything the reference
+uses it for (``/root/reference``):
 
-The projection of a point onto a 2-D convex polytope is either the point,
-the foot of a perpendicular onto one facet line, or a vertex; enumerating
-those candidates gives the *exact* minimizer, so the reference driven by
-this stub is a float64-exact oracle (ECOS would only give ~1e-8).
+1. **``map_pq`` projection QPs** (devices.py:280-304, 472-522):
+   min ||x - point||^2  s.t.  G x <= h  with x in R^2.  The projection of a
+   point onto a 2-D convex polytope is the point, the foot of a
+   perpendicular onto one facet line, or a vertex; enumerating those
+   candidates gives the *exact* minimizer, so the reference driven by this
+   stub is a float64-exact oracle (ECOS would only give ~1e-8).
+
+2. **The MPC DC-OPF** (agents/mpc.py:161-319): a scalar-affine expression
+   tree (indexed vector Variables and Parameters, +-*/ by constants,
+   ``==``/``<=`` constraints) with piecewise-linear hinge terms
+   ``maximum(0, abs(p) - c)`` in the objective.  The stub lowers the whole
+   N-stage problem to one LP (hinges via epigraph auxiliaries) and solves
+   it with scipy's HiGHS -- an exact simplex-based solver, again *stronger*
+   than the ECOS default the reference ships with.
+
+The reference's own test suites (tests/simulator/test_devices.py,
+tests/test_dcopf_agent.py) pass under this stub -- see
+tests/test_reference_suite.py -- which is the validation the trajectory-
+parity chain (tests/test_parity_reference.py) rests on.
 """
 
 import numpy as np
 
 
+# ----------------------------------------------------------------------
+# Exact 2-D polytope projection (the map_pq QPs).
 def _project_polytope_np(point, G, h, eps=1e-12):
     G = np.asarray(G, dtype=float)
     h = np.asarray(h, dtype=float)
@@ -53,23 +70,269 @@ def _project_polytope_np(point, G, h, eps=1e-12):
     return best
 
 
+# ----------------------------------------------------------------------
+# Scalar affine expressions over (variable component, parameter component)
+# terms, plus hinge (max-of-affine) pieces for the MPC objective.
+def _aff(x):
+    """Coerce a scalar/Aff to Aff."""
+    if isinstance(x, Aff):
+        return x
+    if np.isscalar(x) or isinstance(x, np.generic):
+        return Aff(const=float(x))
+    raise TypeError("cannot coerce %r to an affine scalar" % (x,))
+
+
+class Aff:
+    """c + sum coeff * var_component + sum coeff * parameter_component."""
+
+    __array_ufunc__ = None
+    __array_priority__ = 1000
+
+    def __init__(self, terms=None, params=None, const=0.0):
+        self.terms = dict(terms or {})  # (Variable, idx) -> coeff
+        self.params = dict(params or {})  # (Parameter, flat_idx) -> coeff
+        self.const = float(const)
+
+    # -- arithmetic ----------------------------------------------------
+    def _comb(self, other, sa, sb):
+        other = _aff(other)
+        t = {k: sa * v for k, v in self.terms.items()}
+        for k, v in other.terms.items():
+            t[k] = t.get(k, 0.0) + sb * v
+        p = {k: sa * v for k, v in self.params.items()}
+        for k, v in other.params.items():
+            p[k] = p.get(k, 0.0) + sb * v
+        return Aff(t, p, sa * self.const + sb * other.const)
+
+    def __add__(self, other):
+        if isinstance(other, (Hinge, PiecewiseSum)):
+            return other.__add__(self)
+        return self._comb(other, 1.0, 1.0)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return self._comb(other, 1.0, -1.0)
+
+    def __rsub__(self, other):
+        return self._comb(other, -1.0, 1.0)
+
+    def __neg__(self):
+        return self._comb(0.0, -1.0, 1.0)
+
+    def __mul__(self, s):
+        s = float(s)
+        return Aff({k: s * v for k, v in self.terms.items()}, {k: s * v for k, v in self.params.items()}, s * self.const)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, s):
+        return self.__mul__(1.0 / float(s))
+
+    # -- constraints ---------------------------------------------------
+    def __le__(self, other):
+        return Constraint(self._comb(other, 1.0, -1.0), "<=")
+
+    def __ge__(self, other):
+        return Constraint(_aff(other)._comb(self, 1.0, -1.0), "<=")
+
+    def __eq__(self, other):  # noqa: A003 - cvxpy semantics
+        return Constraint(self._comb(other, 1.0, -1.0), "==")
+
+    __hash__ = object.__hash__
+
+    # -- evaluation ----------------------------------------------------
+    def param_const(self):
+        """Constant part with current Parameter values substituted."""
+        c = self.const
+        for (p, i), v in self.params.items():
+            c += v * p._flat()[i]
+        return c
+
+    def eval(self):
+        c = self.param_const()
+        for (var, i), v in self.terms.items():
+            c += v * var.value if var.n is None else v * var.value[i]
+        return c
+
+    @property
+    def value(self):
+        """cvxpy Expression.value: evaluate at the current variable values
+        (the reference's tests read solved expressions through this)."""
+        return self.eval()
+
+
+class Hinge:
+    """max_j(bound_j) of affine bounds -- only valid inside a minimized
+    objective with a nonnegative weight (epigraph-lowered to an LP aux)."""
+
+    __array_ufunc__ = None
+    __array_priority__ = 1000
+
+    def __init__(self, bounds):
+        self.bounds = [_aff(b) for b in bounds]
+
+    def __sub__(self, other):
+        return Hinge([b - other for b in self.bounds])  # max_j g_j - c = max_j (g_j - c)
+
+    def __mul__(self, s):
+        s = float(s)
+        assert s >= 0, "hinge scaled by a negative weight is not convex here"
+        return PiecewiseSum(Aff(), [(s, self)])
+
+    __rmul__ = __mul__
+
+    def __add__(self, other):
+        return PiecewiseSum(Aff(), [(1.0, self)]).__add__(other)
+
+    __radd__ = __add__
+
+
+class PiecewiseSum:
+    """affine + sum_k w_k * hinge_k (w_k >= 0): the MPC objective shape."""
+
+    __array_ufunc__ = None
+    __array_priority__ = 1000
+
+    def __init__(self, aff, hinges):
+        self.aff = _aff(aff)
+        self.hinges = list(hinges)
+
+    def __add__(self, other):
+        if isinstance(other, PiecewiseSum):
+            return PiecewiseSum(self.aff + other.aff, self.hinges + other.hinges)
+        if isinstance(other, Hinge):
+            return PiecewiseSum(self.aff, self.hinges + [(1.0, other)])
+        return PiecewiseSum(self.aff + _aff(other), self.hinges)
+
+    __radd__ = __add__
+
+    def __mul__(self, s):
+        s = float(s)
+        assert s >= 0
+        return PiecewiseSum(self.aff * s, [(s * w, hg) for w, hg in self.hinges])
+
+    __rmul__ = __mul__
+
+
+def maximum(a, b):
+    """cvxpy.maximum of two scalars/affines/hinges (convex use only)."""
+    bounds = []
+    for x in (a, b):
+        if isinstance(x, Hinge):
+            bounds.extend(x.bounds)
+        else:
+            bounds.append(_aff(x))
+    return Hinge(bounds)
+
+
+def abs(x):  # noqa: A003 - cvxpy namespace
+    x = _aff(x)
+    return Hinge([x, -x])
+
+
+class Constraint:
+    """lhs (<=|==) 0 with lhs affine."""
+
+    def __init__(self, lhs, kind):
+        self.lhs, self.kind = lhs, kind
+
+
+# ----------------------------------------------------------------------
 class Variable:
     # Make numpy defer binary ops (e.g. ndarray @ Variable) to our
     # __rmatmul__ instead of raising inside np.matmul.
     __array_ufunc__ = None
     __array_priority__ = 1000
 
-    def __init__(self, n=1, nonneg=False):
+    def __init__(self, n=None, nonneg=False):
+        # n=None: scalar variable (cvxpy cp.Variable()); int: vector.
         self.n = n
+        self.nonneg = bool(nonneg)
         self.value = None
 
+    # Projection-QP path (devices.py): whole-variable ops.
     def __rmatmul__(self, G):
         return _MatVec(G, self)
 
     def __sub__(self, other):
+        if isinstance(other, Variable):
+            return _scalar_aff(self) - _scalar_aff(other)
+        if isinstance(other, (Aff, Hinge, PiecewiseSum)) or np.isscalar(other):
+            return _scalar_aff(self) - other
+        # Whole-vector x - point: the projection-QP path (devices.py).
         return _Shifted(self, np.asarray(other, dtype=float))
 
+    # Affine-LP path (agents/mpc.py): scalar components.
+    def __getitem__(self, i):
+        return Aff({(self, int(i)): 1.0})
 
+    def __add__(self, other):
+        return _scalar_aff(self) + other
+
+    __radd__ = __add__
+
+    def __rsub__(self, other):
+        return _aff(other) - _scalar_aff(self)
+
+    def __neg__(self):
+        return -_scalar_aff(self)
+
+    def __mul__(self, s):
+        return _scalar_aff(self) * s
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, s):
+        return _scalar_aff(self) / s
+
+    def __le__(self, other):
+        return _scalar_aff(self) <= other
+
+    def __ge__(self, other):
+        return _scalar_aff(self) >= other
+
+    def __eq__(self, other):
+        return _scalar_aff(self) == other
+
+    __hash__ = object.__hash__
+
+
+def _scalar_aff(var):
+    assert var.n is None, "whole-vector arithmetic is not part of the reference's usage"
+    return Aff({(var, 0): 1.0})
+
+
+class Parameter:
+    __array_ufunc__ = None
+    __array_priority__ = 1000
+
+    def __init__(self, shape=(), nonneg=False):
+        self.shape = shape if isinstance(shape, tuple) else (shape,)
+        self.value = None
+
+    def _flat(self):
+        return np.asarray(self.value, dtype=float).reshape(-1)
+
+    def _flat_index(self, idx):
+        return int(np.ravel_multi_index(idx, self.shape)) if len(self.shape) > 1 else int(idx)
+
+    def __getitem__(self, idx):
+        if isinstance(idx, tuple):
+            # Column slice P[:, t] -> list of scalar refs (mpc.py:181-182).
+            rows, col = idx
+            if isinstance(rows, slice):
+                r = range(*rows.indices(self.shape[0]))
+                return [Aff(params={(self, self._flat_index((i, col))): 1.0}) for i in r]
+            return Aff(params={(self, self._flat_index(idx)): 1.0})
+        if isinstance(idx, slice):
+            r = range(*idx.indices(self.shape[0]))
+            return [Aff(params={(self, int(i)): 1.0}) for i in r]
+        return Aff(params={(self, int(idx)): 1.0})
+
+
+# ----------------------------------------------------------------------
+# Projection-path helper classes (unchanged API).
 class _MatVec:
     def __init__(self, G, var):
         self.G = np.asarray(G, dtype=float)
@@ -108,30 +371,104 @@ class Problem:
         self.objective = objective
         self.constraints = list(constraints)
         self.status = "optimal"
+        self.value = None
 
     def solve(self, *args, **kwargs):
         obj = self.objective.obj
-        assert isinstance(obj, _SumSquares), "stub supports projection QPs only"
-        shifted = obj.shifted
-        var = shifted.var
-        point = shifted.point
-        assert len(self.constraints) == 1
-        con = self.constraints[0]
-        var.value = _project_polytope_np(point, con.G, con.h)
-        return float(np.sum((var.value - point) ** 2))
+        if isinstance(obj, _SumSquares):
+            shifted = obj.shifted
+            var = shifted.var
+            point = shifted.point
+            assert len(self.constraints) == 1
+            con = self.constraints[0]
+            var.value = _project_polytope_np(point, con.G, con.h)
+            self.value = float(np.sum((var.value - point) ** 2))
+            return self.value
+        return self._solve_lp(obj)
 
+    # -- LP lowering (the MPC DC-OPF path) -----------------------------
+    def _solve_lp(self, obj):
+        from scipy.optimize import linprog
 
-class Parameter:
-    def __init__(self, shape=(), nonneg=False):
-        self.shape = shape
-        self.value = None
+        if isinstance(obj, (Aff, Variable)):
+            obj = PiecewiseSum(_aff(obj) if not isinstance(obj, Variable) else _scalar_aff(obj), [])
+        elif isinstance(obj, Hinge):
+            obj = PiecewiseSum(Aff(), [(1.0, obj)])
+        assert isinstance(obj, PiecewiseSum), "unsupported objective for the LP stub"
 
+        # Column layout: every component of every Variable seen anywhere,
+        # then one epigraph auxiliary per hinge.
+        cols = {}
 
-def maximum(*args, **kwargs):  # pragma: no cover - not needed for parity tests
-    raise NotImplementedError("cvxpy stub: MPC path not supported")
+        def col(var, i):
+            k = (var, i)
+            if k not in cols:
+                cols[k] = len(cols)
+            return cols[k]
 
+        def scan_aff(a):
+            for (var, i) in a.terms:
+                col(var, i)
 
-abs = maximum  # pragma: no cover
+        scan_aff(obj.aff)
+        for _, hg in obj.hinges:
+            for b in hg.bounds:
+                scan_aff(b)
+        for con in self.constraints:
+            scan_aff(con.lhs)
+        nv = len(cols)
+        naux = len(obj.hinges)
+        ncols = nv + naux
+
+        def row(a):
+            r = np.zeros(ncols)
+            for (var, i), v in a.terms.items():
+                r[cols[(var, i)]] += v
+            return r, -a.param_const()  # a <= 0  ->  r x <= -const
+
+        c = np.zeros(ncols)
+        r0, _ = row(obj.aff)
+        c[:] = r0
+        A_ub, b_ub, A_eq, b_eq = [], [], [], []
+        for k, (w, hg) in enumerate(obj.hinges):
+            c[nv + k] = w
+            for b in hg.bounds:
+                r, rhs = row(b)
+                r[nv + k] -= 1.0  # g_j - t_k <= 0
+                A_ub.append(r)
+                b_ub.append(rhs)
+        for con in self.constraints:
+            r, rhs = row(con.lhs)
+            (A_eq if con.kind == "==" else A_ub).append(r)
+            (b_eq if con.kind == "==" else b_ub).append(rhs)
+
+        bounds = [(None, None)] * ncols
+        for (var, i), j in cols.items():
+            if var.nonneg:
+                bounds[j] = (0, None)
+        # Epigraph auxiliaries are bounded below by their hinge rows.
+
+        res = linprog(
+            c,
+            A_ub=np.asarray(A_ub) if A_ub else None,
+            b_ub=np.asarray(b_ub) if b_ub else None,
+            A_eq=np.asarray(A_eq) if A_eq else None,
+            b_eq=np.asarray(b_eq) if b_eq else None,
+            bounds=bounds,
+            method="highs",
+        )
+        self.status = "optimal" if res.success else "infeasible"
+        if not res.success:
+            return None
+        for (var, i), j in cols.items():
+            if var.n is None:
+                var.value = float(res.x[j])
+            else:
+                if var.value is None or np.shape(var.value) != (var.n,):
+                    var.value = np.zeros(var.n)
+                var.value[i] = res.x[j]
+        self.value = float(res.fun)
+        return self.value
 
 
 class FakeWebsocketServerModule:

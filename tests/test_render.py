@@ -10,7 +10,9 @@ import numpy as np
 import pytest
 
 
-@pytest.mark.timeout(120)
+# No @pytest.mark.timeout: pytest-timeout is not installable here, so the
+# mark would be silently inert; every blocking call below instead carries
+# its own socket/HTTP timeout (see test_render_servers.py).
 def test_render_protocol_end_to_end():
     websocket = pytest.importorskip("websocket")
     import gym_anm_tpu
