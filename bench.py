@@ -324,10 +324,11 @@ def main():
         from gym_anm_tpu.envs.anm6.anm6_easy import make_core
 
     if args.pf is None:
-        # Each env's calibrated default: pure Pallas NR wins at 6 buses,
-        # the chord+NR hybrid wins 2.3x at 33 buses and is the only option
-        # that avoids 560x560 per-lane eliminations at 141.
-        args.pf = "pallas" if args.env == "anm6easy" else "hybrid"
+        # Each env's calibrated default: pure Pallas NR wins at 6 buses;
+        # the exact tree elimination wins at 33 (1.43M steps/s, 4.9x the
+        # old chord+dense-tail hybrid); chord-only remains the fast mode
+        # at 141 (1.89M vs tree's exact 364k).
+        args.pf = {"anm6easy": "pallas", "feeder33": "tree", "feeder141": "hybrid"}[args.env]
     kw = {}
     if args.chord_precision is not None:
         kw["chord_precision"] = args.chord_precision

@@ -61,7 +61,10 @@ CHECK_CONFIG = {
     # collapse these stiff feeders within a committable horizon.
     # B=128: the smallest batch that engages the real Pallas NR kernel at 33
     # buses (lane tile 128; smaller batches silently fall back to XLA).
-    "feeder33": dict(B=128, T=24, seed=0, action_scale=1.0, stress=1.5, methods={"hybrid": {}, "pallas": {}}),
+    "feeder33": dict(
+        B=128, T=24, seed=0, action_scale=1.0, stress=1.5,
+        methods={"tree": {}, "hybrid": {}, "pallas": {}},
+    ),
     # feeder141 is feasible-by-construction at full load (branch ratings are
     # sized from downstream subtree peaks and loads clip at p_min -- see
     # envs/feeder141.py), so no legal input collapses it: stress=2 saturates

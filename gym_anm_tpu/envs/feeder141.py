@@ -195,18 +195,23 @@ def make_core(
         else:
             pf_max_iter = 6
     if x_tol is None:
-        # The chord iteration plateaus just above the reference's 1e-5 on
-        # marginal (full-load) lanes in float32 -- TPU rounding then flags
-        # a handful of solvable lanes as collapsed (caught by the on-chip
-        # parity check, BENCH_r02).  3e-5 p.u. mismatch (3 kVA on the 100
-        # MVA base) sits above that plateau and below any physically
-        # meaningful violation; float64 keeps the reference tolerance.
+        # The float32 mismatch F = V (Y V)* - S plateaus just above the
+        # reference's 1e-5 on marginal (full-load) lanes at this network
+        # size: the Y V products are O(100) terms cancelling to O(0.01), so
+        # f32 rounding leaves ~1e-5 p.u. of noise in the computed mismatch
+        # regardless of solver (first seen on the chord path, BENCH_r02;
+        # measured identically on the tree path -- at 1e-5 the tree solver
+        # mis-flagged 1.2% of a random-action rollout's lanes as collapsed
+        # vs the f64 oracle, 0% at 3e-5).  3e-5 p.u. (3 kVA on the 100 MVA
+        # base) sits above the plateau and below any physically meaningful
+        # violation; float64 keeps the reference tolerance.
         import jax
         import jax.numpy as _jnp
 
         # Host-side dtype resolution (no eager device op).
         f32 = (dtype == _jnp.float32) if dtype is not None else not jax.config.jax_enable_x64
-        x_tol = 3e-5 if (pf_method in ("hybrid", "xla_hybrid") and pf_max_iter == 0 and f32) else 1e-5
+        chord_only = pf_method in ("hybrid", "xla_hybrid") and pf_max_iter == 0
+        x_tol = 3e-5 if (f32 and (chord_only or pf_method == "tree")) else 1e-5
     if chord_precision is None and pf_method in ("hybrid", "xla_hybrid") and pf_max_iter == 0:
         # Chord-only solve (this env's default; the gate excludes untested
         # hybrid-with-NR-tail configs): the J0inv @ F update products ARE

@@ -135,7 +135,7 @@ def _daily_factor(t):
 def make_core(
     dtype=None,
     pf_max_iter=None,
-    pf_method="hybrid",
+    pf_method="tree",
     network=None,
     chord_iters=16,
     x_tol=1e-5,
@@ -145,22 +145,23 @@ def make_core(
 ):
     """Pure-functional EnvCore for the feeder (batched fast path).
 
-    Default solver: ``pf_method="hybrid"`` -- 16 chord iterations with the
-    constant flat-start Jacobian (matmul-only; converges 98.6% of lanes on
-    harsh random-injection sweeps) followed by a 6-iteration true-NR tail.
-    At 33 buses the per-lane Gaussian elimination dominates pure NR, so the
-    chord phase is worth 2.3x measured end-to-end throughput; a tail of 5
-    still reproduces pure-NR termination decisions exactly over ~2.6M
-    benchmark solves (tail 6 adds one iteration of margin for restarted
-    lanes).  ``pf_method="tree"`` runs true per-lane NR with the radial
-    tree elimination (O(n) per-lane solves, ops/tree_nr.py) -- an *exact*
-    solver whose per-iteration cost is far below the dense elimination the
-    chord phase exists to avoid.  ``pf_max_iter=None`` auto-selects the
-    calibrated budget: 6 (tail) for hybrid, 10 for tree (rollout-measured
+    Default solver: ``pf_method="tree"`` -- true per-lane NR with the
+    radial tree elimination (O(n) per-lane 2x2-block solves + sparse Y V,
+    ops/tree_nr.py): an *exact* solver whose per-iteration cost is far
+    below the dense elimination, measured 1.43M env-steps/s on chip with
+    zero termination mismatches on the on-chip parity check -- 4.9x the
+    previous exact default (round 4; BENCH_local_feeder33_tree.json).
+
+    ``pf_method="hybrid"`` keeps the previous default: 16 chord iterations
+    with the constant flat-start Jacobian (matmul-only; converges 98.6% of
+    lanes on harsh random-injection sweeps) followed by a 6-iteration
+    dense true-NR tail (293k steps/s on chip).  ``pf_max_iter=None``
+    auto-selects the calibrated budget: 10 for tree (rollout-measured
     p100 = 6 incl. termination-adjacent lanes, +4 margin --
-    scripts/warm_calib.py), 15 for dense pure NR.  ``warm_start`` keeps
-    the same budgets (measured: warm starting saves no iterations on this
-    task's per-step injection jumps -- see scripts/warm_calib.py)."""
+    scripts/warm_calib.py), 6 (tail) for hybrid, 15 for dense pure NR.
+    ``warm_start`` keeps the same budgets (measured: warm starting saves
+    no iterations on this task's per-step injection jumps -- see
+    scripts/warm_calib.py)."""
     if pf_max_iter is None:
         if pf_method in ("hybrid", "xla_hybrid", "fused_hybrid"):
             pf_max_iter = 6
