@@ -455,6 +455,22 @@ def main():
     elapsed = statistics.median(trial_times)
     sps_blocking = args.batch * args.steps / statistics.median(times)
     sps = args.batch * args.steps * args.iters / elapsed
+    # Timing sanity: on this tunneled runtime jax.block_until_ready has
+    # been observed to RETURN WITHOUT BLOCKING at some configs (first seen
+    # at feeder33 B=8192, round 4: elapsed collapsed to ~1 ms and the
+    # computed rate to 9e9 steps/s -- ~600x the measured VPU roofline
+    # bound).  The computed values stay sane (a later np.asarray really
+    # blocks), only the timing is garbage.  Flag instead of reporting an
+    # impossible headline.
+    timing_suspect = elapsed < 0.01 * args.iters or sps > 5e8
+    if timing_suspect:
+        _emit_error(
+            "timing_not_blocking",
+            note="block_until_ready returned in %.4fs for %d programs (%.3g steps/s): "
+            "the runtime did not block; re-run at a known-good batch size (4096) or "
+            "time via host transfer." % (elapsed, args.iters, sps),
+        )
+        sys.exit(4)
     # NB: transfer whole [T, B] f32 arrays (0-d transfers are unimplemented
     # on some PJRT backends) and reduce on host.
     rew_h = np.asarray(rew)
