@@ -146,6 +146,14 @@ def kernel_flops_per_env_step(core, solver_path, pf_method):
 
         chord = core.chord_iters if pf_method == "fused_hybrid" else 0
         return fused_step_flops_per_lane(core.spec, core.max_iter, chord, pivot=core.nr_pivot)
+    if solver_path == "pallas_tree":
+        from gym_anm_tpu.ops.pallas_tree import schedule_for_spec, tree_pallas_flops_per_lane
+
+        sched = schedule_for_spec(core.spec)
+        # Upper bound: the kernel's pl.when early exit skips iterations a
+        # lockstep path would execute, so MFU/roofline numbers built on
+        # this count are conservative.
+        return tree_pallas_flops_per_lane(sched, core.max_iter, warm=core.warm_start)
     return 0
 
 
@@ -204,10 +212,11 @@ def main():
     ap.add_argument(
         "--pf",
         default=None,
-        choices=["pallas", "scan", "hybrid", "xla_hybrid", "tree", "fused", "fused_hybrid"],
+        choices=["pallas", "scan", "hybrid", "xla_hybrid", "tree", "tree_xla", "fused", "fused_hybrid"],
         help="NR solver path ('fused*' = whole-transition Pallas kernel; "
         "'xla_hybrid' = the chord(+tail) solver pinned to the XLA/MXU path; "
-        "'tree' = true per-lane NR via the radial tree elimination); "
+        "'tree' = true per-lane NR via the radial tree elimination -- the "
+        "fused VMEM kernel on TPU, 'tree_xla' pins its XLA level sweep); "
         "default: the env's calibrated solver (pallas for anm6easy, hybrid for feeder33)",
     )
     warm_group = ap.add_mutually_exclusive_group()
@@ -324,11 +333,12 @@ def main():
         from gym_anm_tpu.envs.anm6.anm6_easy import make_core
 
     if args.pf is None:
-        # Each env's calibrated default: pure Pallas NR wins at 6 buses;
-        # the exact tree elimination wins at 33 (1.43M steps/s, 4.9x the
-        # old chord+dense-tail hybrid); chord-only remains the fast mode
-        # at 141 (1.89M vs tree's exact 364k).
-        args.pf = {"anm6easy": "pallas", "feeder33": "tree", "feeder141": "hybrid"}[args.env]
+        # Since round 5 the fused tree-NR VMEM kernel (ops/pallas_tree.py)
+        # is every env's default: exact per-lane NR at 16.0M / 7.5M / 5.2M
+        # steps/s on anm6easy / feeder33 / feeder141 -- faster than the
+        # dense Pallas NR at 6 buses (10.1M) and than chord-only at 141
+        # (1.89M), with clean on-chip parity everywhere.
+        args.pf = {"anm6easy": "tree", "feeder33": "tree", "feeder141": "tree"}[args.env]
     kw = {}
     if args.chord_precision is not None:
         kw["chord_precision"] = args.chord_precision
@@ -462,15 +472,41 @@ def main():
     # bound).  The computed values stay sane (a later np.asarray really
     # blocks), only the timing is garbage.  Flag instead of reporting an
     # impossible headline.
-    timing_suspect = elapsed < 0.01 * args.iters or sps > 5e8
-    if timing_suspect:
-        _emit_error(
-            "timing_not_blocking",
-            note="block_until_ready returned in %.4fs for %d programs (%.3g steps/s): "
-            "the runtime did not block; re-run at a known-good batch size (4096) or "
-            "time via host transfer." % (elapsed, args.iters, sps),
-        )
-        sys.exit(4)
+    # The fixed elapsed floor only applies at workloads big enough that
+    # sub-10ms programs are physically impossible; tiny ablation configs
+    # (e.g. --batch 128 --steps 8) can legitimately run that fast once
+    # dispatch pipelines away (ADVICE r4 #3).
+    def suspect(el, rate):
+        return (el < 0.01 * args.iters and args.batch * args.steps >= 65536) or rate > 5e8
+
+    timing_mode = "block_until_ready"
+    if suspect(elapsed, sps):
+        # Known runtime bug (docs/quirks.md #12, first seen feeder33
+        # B=8192): jax.block_until_ready returns WITHOUT blocking at some
+        # configs while values stay correct.  np.asarray always blocks
+        # (a real device->host transfer), so re-time the pipelined trials
+        # with a >=1-d host-transfer barrier instead of giving up: this is
+        # what makes large-batch configs benchmarkable at all.  The
+        # transferred slice is tiny ([1, B] f32), one tunnel round trip
+        # per trial, amortized over the whole pipelined trial.
+        timing_mode = "host_transfer"
+        trial_times = []
+        for _ in range(args.trials):
+            t0 = time.time()
+            for i in range(args.iters):
+                es, (rew, term) = run(es, keys[i])
+            np.asarray(rew[:1])  # verified-blocking barrier
+            trial_times.append(time.time() - t0)
+        elapsed = statistics.median(trial_times)
+        sps = args.batch * args.steps * args.iters / elapsed
+        if suspect(elapsed, sps):
+            _emit_error(
+                "timing_not_blocking",
+                note="block_until_ready returned in %.4fs for %d programs (%.3g steps/s) "
+                "AND the host-transfer re-timing is still impossible: runtime timing "
+                "is untrustworthy at this config." % (elapsed, args.iters, sps),
+            )
+            sys.exit(4)
     # NB: transfer whole [T, B] f32 arrays (0-d transfers are unimplemented
     # on some PJRT backends) and reduce on host.
     rew_h = np.asarray(rew)
@@ -491,6 +527,7 @@ def main():
         "auto_reset_mode": args.auto_reset_mode if args.auto_reset else None,
         "solver_path": solver_path,
         "nr_pivot": bool(core.nr_pivot),
+        "timing_mode": timing_mode,
         "elapsed_s": round(elapsed, 3),
         "blocking_steps_per_s": round(sps_blocking, 1),
         "compile_s": round(compile_s, 1),
@@ -543,8 +580,22 @@ def main():
         vpu_fs = float(kflops_step)
         mxu_fs = 0.0
         if solver_path == "xla":
+            # Only the chord iterations are MXU matmuls; any true-NR tail
+            # (--pf scan/while, or hybrid with --tail > 0) is per-lane
+            # elementwise/GE work on the VPU (ADVICE r4 #2).
+            from gym_anm_tpu.ops.pallas_nr import nr_flops_per_lane
+
             chordp = str(core.chord_precision or "highest")
-            mxu_fs = float(xla_loop_flops_step)
+            chord = core.chord_iters if args.pf in ("hybrid", "xla_hybrid") else 0
+            chord_fs = (
+                (nr_flops_per_lane(core.spec.n_bus, 0, chord, pivot=True)
+                 - nr_flops_per_lane(core.spec.n_bus, 0, 0, pivot=True))
+                * transitions_per_step
+                if chord
+                else 0.0
+            )
+            mxu_fs = float(chord_fs)
+            vpu_fs += float(xla_loop_flops_step) - mxu_fs
             mxu_peak = 1.97e14 if chordp == "default" else 1.97e14 / 6
         else:
             vpu_fs += float(xla_loop_flops_step)

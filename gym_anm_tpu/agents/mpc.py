@@ -73,8 +73,23 @@ class MPCAgent:
     """
 
     def __init__(
-        self, simulator, action_space, gamma, safety_margin=0.9, planning_steps=1, solver_x64=False
+        self, simulator, action_space, gamma, safety_margin=0.9, planning_steps=1, solver_x64=False,
+        warm_start=False, warm_shift=True,
     ):
+        # warm_start: carry the (scaled) ADMM iterate across consecutive
+        # ``act()`` calls -- the receding-horizon problems at consecutive
+        # env steps differ only in a few parameter rows, so the previous
+        # optimum is near-feasible and the early-exit chunk loop converges
+        # in far fewer chunks.  warm_shift additionally realigns the carry
+        # by one stage (stage s <- s+1, last stage duplicated, duals
+        # un-discounted by 1/gamma) -- the receding-horizon shift, which
+        # matters for time-varying forecasts (MPCAgentPerfect) and is a
+        # near-no-op for constant forecasts.  The reference re-solves its
+        # parametric CVXPY problem cold each step (mpc.py:372-393);
+        # warm_start=False reproduces that behavior exactly.
+        self.warm_start = bool(warm_start)
+        self.warm_shift = bool(warm_shift)
+        self._act_carry = None
         # solver_x64: run the ADMM solver in float64 via the scoped
         # jax.enable_x64(True) context -- on TPU (f32-native) the
         # batched ADMM otherwise plateaus at ~1e-4 scaled residuals, which
@@ -430,24 +445,35 @@ class MPCAgent:
         K = self._sigma * np.eye(self.nz) + (self._As.T * rho_vec) @ self._As
         return np.linalg.cholesky(K)
 
-    def _admm(self, lv, uv, eps=1e-9, max_chunks=12):
+    def _admm(self, lv, uv, eps=1e-9, max_chunks=12, warm=None):
         """Run ADMM to convergence with warm-started chunks and adaptive rho
         (refactorizing the KKT matrix on rho updates, as OSQP does).
 
+        ``warm`` is a scaled-space (x, z, y) carry from a previous call
+        (the 4th return value); starting from it, the early-exit chunk loop
+        converges in fewer chunks on receding-horizon problem sequences.
+
         Runs under the scoped ``solver_x64`` context (like the banded
         backend): the jitted chunk re-traces on the f64 operands, so the
-        flag is honored on this dense backend too."""
+        flag is honored on this dense backend too.  Returns
+        ``(x, z, y, carry)`` -- the first three unscaled as before."""
         with self._x64_ctx():
-            return self._admm_impl(lv, uv, eps=eps, max_chunks=max_chunks)
+            return self._admm_impl(lv, uv, eps=eps, max_chunks=max_chunks, warm=warm)
 
-    def _admm_impl(self, lv, uv, eps=1e-9, max_chunks=12):
+    def _admm_impl(self, lv, uv, eps=1e-9, max_chunks=12, warm=None):
         m, n = self._As.shape
         ls, us = self._E * lv, self._E * uv
         rho_vec = np.where(self._eq_rows, self._rho0 * 1e3, self._rho0)
         L = self._factor(rho_vec)
-        x = np.zeros(n)
-        z = np.clip(np.zeros(m), ls, us)
-        y = np.zeros(m)
+        if warm is None:
+            x = np.zeros(n)
+            z = np.clip(np.zeros(m), ls, us)
+            y = np.zeros(m)
+        else:
+            x, z, y = (np.asarray(v, dtype=float) for v in warm)
+            z = np.clip(z, ls, us)
+            if not np.all(np.isfinite(x)) or not np.all(np.isfinite(y)):
+                x, z, y = np.zeros(n), np.clip(np.zeros(m), ls, us), np.zeros(m)
         prev_worst = np.inf
         for _ in range(max_chunks):
             x, z, y, pri, dual = (
@@ -470,7 +496,7 @@ class MPCAgent:
             rho_vec = np.clip(rho_vec * factor, 1e-6, 1e6)
             L = self._factor(rho_vec)
         # Unscale: x = D x_bar, z = E^-1 z_bar, y = E y_bar / c.
-        return self._D * x, z / self._E, self._E * y / self._c
+        return self._D * x, z / self._E, self._E * y / self._c, (x, z, y)
 
     def _polish(self, x, z, y, lv, uv, tol=1e-6):
         """Active-set refinement: solve the equality-constrained system on the
@@ -569,6 +595,39 @@ class MPCAgent:
                 )
         return np.asarray(x) * self._D[None, :], (x, z, y)
 
+    def _shift_warm_carry(self, carry):
+        """Receding-horizon realignment of a scaled ADMM carry: stage s
+        takes stage s+1's iterate (the plan the previous solve made for
+        this wall-clock step), the last stage duplicates, and the duals are
+        un-discounted by 1/gamma (stage s's objective weight is gamma^s, so
+        the shifted multipliers were scaled for gamma^(s+1)).  The scaled
+        space commutes with the shift because the Ruiz scales are
+        stage-uniform (tiled per stage)."""
+        import jax.numpy as _jnp
+
+        N = self.planning_steps
+        if N == 1:
+            return carry
+
+        x, z, y = carry
+        # Banded carries are already stage-major [B, N, rows]; dense ones
+        # are flat [B, N*rows] (or [N*rows] from the single-env path) with
+        # stage-major row blocks (_build_lp builds rows per stage).
+        if x.ndim == 3:
+            xs = _jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+            zs = _jnp.concatenate([z[:, 1:], z[:, -1:]], axis=1)
+            ys = _jnp.concatenate([y[:, 1:], y[:, -1:]], axis=1) / self.gamma
+            return (xs, zs, ys)
+
+        def sh(a):
+            shp = a.shape
+            rows = shp[-1] // N
+            a3 = _jnp.reshape(a, shp[:-1] + (N, rows))
+            a3 = _jnp.concatenate([a3[..., 1:, :], a3[..., -1:, :]], axis=-2)
+            return _jnp.reshape(a3, shp)
+
+        return (sh(x), sh(z), sh(y) / self.gamma)
+
     @property
     def _warm_tol(self):
         """Residual acceptance threshold for warm-started batched solves, in
@@ -580,7 +639,33 @@ class MPCAgent:
         residual tolerance suggests)."""
         return 5e-5 if jax.config.jax_enable_x64 else 5e-4
 
-    def solve_batch(self, load_forecasts, gen_forecasts, init_socs, warm_start=False, sharding=None):
+    def _polish_batch(self, X, carry, LV, UV):
+        """Per-lane active-set polish of a batched solve (overridden by the
+        banded backend with a sparse-KKT version that scales to feeder141
+        horizon 20).  The dense fallback reuses ``_polish`` when the dense
+        mirror exists."""
+        if getattr(self, "A", None) is None:
+            return X
+        Zs, Ys = np.asarray(carry[1]), np.asarray(carry[2])
+        Z = Zs.reshape(Zs.shape[0], -1) / self._E[None, :]
+        Y = Ys.reshape(Ys.shape[0], -1) * self._E[None, :] / self._c
+        out = np.array(X)
+        tol = self._polish_act_tol
+        for b in range(X.shape[0]):
+            out[b] = self._polish(X[b], Z[b], Y[b], LV[b], UV[b], tol=tol)
+        return out
+
+    @property
+    def _polish_act_tol(self):
+        """Active-set detection tolerance for batched polishes: f32 ADMM
+        stalls near ~5e-5 scaled residuals, so the f32 bar is looser than
+        the f64 host path's 1e-6."""
+        return 1e-6 if jax.config.jax_enable_x64 else 1e-4
+
+    def solve_batch(
+        self, load_forecasts, gen_forecasts, init_socs, warm_start=False, warm_shift=False,
+        polish=False, sharding=None,
+    ):
         """Solve the N-stage DC-OPF for a batch of B environment lanes.
 
         Parameters
@@ -630,8 +715,20 @@ class MPCAgent:
             warm = None
         elif warm is not None and warm[0].shape[0] != Bsz:
             warm = None
+        if warm is not None and warm_shift:
+            # Receding-horizon realignment (see _shift_warm_carry): stage s
+            # starts from the plan the previous solve made for it.
+            warm = self._shift_warm_carry(warm)
         x, carry = self._admm_batch(lv, uv, warm=warm)
         self._warm_carry = carry if warm_start else None
+        if polish:
+            # Mixed-precision accuracy mode: the chip's f32 ADMM identifies
+            # the active set, an exact float64 equality-constrained KKT
+            # solve on the host recovers the LP vertex per lane (the
+            # banded backend does this sparsely -- _polish_batch).  This is
+            # the TPU-native route to reference (CVXPY/ECOS ~1e-8,
+            # reference mpc.py:383) solution quality on an f32-native chip.
+            x = self._polish_batch(x, carry, lv, uv)
         # Full per-lane solutions for inspection / external-oracle
         # cross-checks (e.g. scripts/mpc_bench.py --verify): x [B, nz] with
         # the per-lane bounds actually solved against.
@@ -679,7 +776,11 @@ class MPCAgent:
             elif kind == "soc_init":
                 lv[r] = uv[r] = init_soc[i]
 
-        x, z, y = self._admm(lv, uv)
+        warm = self._act_carry if self.warm_start else None
+        if warm is not None and self.warm_shift:
+            warm = self._shift_warm_carry(warm)
+        x, z, y, carry = self._admm(lv, uv, warm=warm)
+        self._act_carry = carry if self.warm_start else None
         x = self._polish(x, z, y, lv, uv)
 
         # Expose the full solution for inspection/tests (the reference

@@ -519,20 +519,27 @@ class MPCAgentBanded(MPCAgent):
             x_dense = np.asarray(x).reshape(Bsz, N * S) * self._D[None, :]
             return x_dense, (x, z, y)
 
-    def _admm(self, lv, uv, eps=1e-9, max_chunks=12):
+    def _admm(self, lv, uv, eps=1e-9, max_chunks=12, warm=None):
         """Single-instance host path: one-lane banded solve with the dense
         backend's host-side chunk loop and early exit (a typical DC-OPF
         converges in 1-2 chunks; running the full budget in one program
-        would cost ~10x the wall time per ``act()``)."""
+        would cost ~10x the wall time per ``act()``).  ``warm`` is a
+        scaled-space stage-major (x, z, y) carry (the 4th return value);
+        near-optimal warm points exit after their first chunk."""
         N, M, S = self.planning_steps, self.M_rows, self.stage_size
         with self._x64_ctx():
             ls = jnp.asarray((self._E * lv).reshape(1, N, M))
             us = jnp.asarray((self._E * uv).reshape(1, N, M))
             rho = np.where(self._eq_rows, self._rho0 * 1e3, self._rho0).reshape(1, N, M)
             rho = jnp.asarray(rho, ls.dtype)
-            x = jnp.zeros((1, N, S), ls.dtype)
-            z = jnp.clip(jnp.zeros((1, N, M), ls.dtype), ls, us)
-            y = jnp.zeros((1, N, M), ls.dtype)
+            if warm is not None and all(np.all(np.isfinite(np.asarray(v))) for v in warm):
+                x = jnp.asarray(np.asarray(warm[0], dtype=float).reshape(1, N, S), ls.dtype)
+                z = jnp.clip(jnp.asarray(np.asarray(warm[1], dtype=float).reshape(1, N, M), ls.dtype), ls, us)
+                y = jnp.asarray(np.asarray(warm[2], dtype=float).reshape(1, N, M), ls.dtype)
+            else:
+                x = jnp.zeros((1, N, S), ls.dtype)
+                z = jnp.clip(jnp.zeros((1, N, M), ls.dtype), ls, us)
+                y = jnp.zeros((1, N, M), ls.dtype)
             prev = np.inf
             for _ in range(max_chunks):
                 x, z, y, rho, pri, dual = self._admm_batch_full_banded(
@@ -550,12 +557,74 @@ class MPCAgentBanded(MPCAgent):
             # Unscale to the dense backend's (x, z, y) convention for _polish.
             z_d = np.asarray(z).reshape(N * M) / self._E
             y_d = np.asarray(y).reshape(N * M) * self._E / self._c
-            return x_dense, z_d, y_d
+            carry = (
+                np.asarray(x).reshape(N * S),
+                np.asarray(z).reshape(N * M),
+                np.asarray(y).reshape(N * M),
+            )
+            return x_dense, z_d, y_d, carry
 
     def _polish(self, x, z, y, lv, uv, tol=1e-6):
         if self.A is None or self.nz > self.POLISH_MAX_NZ:
             return x  # too large for the dense active-set polish
         return super()._polish(x, z, y, lv, uv, tol=tol)
+
+    def _polish_batch(self, X, carry, LV, UV):
+        """Sparse-KKT active-set polish, per lane, on the host in float64.
+
+        The mixed-precision accuracy mode for large problems: the chip's
+        f32 ADMM identifies each lane's active constraint set (to its
+        ~5e-5-scaled residual floor), then the equality-constrained KKT
+        system on those rows -- assembled SPARSELY from the banded stage
+        blocks, so it scales to feeder141 horizon 20 where the dense
+        mirror/polish cannot exist -- is solved exactly in f64 with
+        scipy's sparse LU.  Accepted only when primal-feasible and not
+        worse, like the dense polish; DC-OPF degeneracy means a polished
+        lane may land on a different optimal vertex, but the objective
+        matches the LP optimum to solver precision (the quantity
+        scripts/mpc_bench.py --verify measures against HiGHS).
+        """
+        from scipy import sparse
+        from scipy.sparse.linalg import spsolve
+
+        A = self.sparse_A()
+        q = self.q
+        tol = self._polish_act_tol
+        Zs, Ys = np.asarray(carry[1], dtype=np.float64), np.asarray(carry[2], dtype=np.float64)
+        Bsz = X.shape[0]
+        Z = Zs.reshape(Bsz, -1) / self._E[None, :]
+        Y = Ys.reshape(Bsz, -1) * self._E[None, :] / self._c
+        out = np.array(X, dtype=np.float64)
+        delta = 1e-9
+        eyen = sparse.identity(self.nz, format="csr")
+        for b in range(Bsz):
+            x, z, y, lv, uv = out[b], Z[b], Y[b], LV[b], UV[b]
+            act_l = (z <= lv + tol) & (y < -tol / 10)
+            act_u = (z >= uv - tol) & (y > tol / 10)
+            eq = (lv == uv) & np.isfinite(lv)
+            act = act_l | act_u | eq
+            if not np.any(act):
+                continue
+            A_act = A[act]
+            b_act = np.where(act_u[act], uv[act], lv[act])
+            na = A_act.shape[0]
+            KKT = sparse.bmat(
+                [[delta * eyen, A_act.T], [A_act, -delta * sparse.identity(na, format="csr")]],
+                format="csc",
+            )
+            rhs = np.concatenate([-q, b_act])
+            try:
+                sol = spsolve(KKT, rhs)
+            except Exception:
+                continue
+            x_p = sol[: self.nz]
+            if not np.all(np.isfinite(x_p)):
+                continue
+            Axp = self.apply_A_host(x_p)
+            feas = np.all(Axp >= lv - 1e-6) and np.all(Axp <= uv + 1e-6)
+            if feas and q @ x_p <= q @ x + 1e-9:
+                out[b] = x_p
+        return out
 
     # ------------------------------------------------------------------
     # Scale-independent constraint inspection (no dense mirror needed).

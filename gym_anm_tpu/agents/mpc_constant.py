@@ -21,7 +21,7 @@ class MPCAgentConstant(MPCAgent):
         P_gen_forecast = np.array([P_gen_forecast for _ in range(self.planning_steps)]).T
         return P_load_forecast, P_gen_forecast
 
-    def act_batch(self, state_vecs, warm_start=False, sharding=None):
+    def act_batch(self, state_vecs, warm_start=False, warm_shift=False, polish=False, sharding=None):
         """Batched policy over B environment lanes.
 
         ``state_vecs [B, state_n]`` are canonical state vectors (as returned
@@ -29,7 +29,10 @@ class MPCAgentConstant(MPCAgent):
         gen_p_max (MW), aux]); returns actions [B, action_n].
 
         ``warm_start=True`` reuses the previous call's ADMM iterate
-        (receding-horizon warm start, see ``MPCAgent.solve_batch``).
+        (receding-horizon warm start, see ``MPCAgent.solve_batch``);
+        ``warm_shift=True`` additionally realigns it by one stage (a
+        near-no-op for this constant-forecast policy, where the optimal
+        plan is stage-stationary).
         """
         sv = np.asarray(state_vecs, dtype=float)
         spec = self.spec
@@ -42,4 +45,7 @@ class MPCAgentConstant(MPCAgent):
         N = self.planning_steps
         load_f = np.repeat(loads[:, :, None], N, axis=2)
         gen_f = np.repeat(p_pot[:, :, None], N, axis=2)
-        return self.solve_batch(load_f, gen_f, socs, warm_start=warm_start, sharding=sharding)
+        return self.solve_batch(
+            load_f, gen_f, socs, warm_start=warm_start, warm_shift=warm_shift, polish=polish,
+            sharding=sharding,
+        )

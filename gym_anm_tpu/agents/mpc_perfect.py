@@ -48,7 +48,7 @@ class MPCAgentPerfect(MPCAgent):
         P_gen_forecast = P_gen_pot[:, t_start:t_end] / self.baseMVA
         return P_load_forecast, P_gen_forecast
 
-    def act_batch(self, state_vecs, warm_start=False):
+    def act_batch(self, state_vecs, warm_start=False, warm_shift=True, polish=False):
         """Batched perfect-forecast policy over B environment lanes.
 
         ``state_vecs [B, state_n]`` are canonical state vectors whose last
@@ -74,4 +74,8 @@ class MPCAgentPerfect(MPCAgent):
         load_f = self.P_loads[:, idx].transpose(1, 0, 2) / base  # [B, n_load, N]
         gen_f = self.P_maxs[:, idx].transpose(1, 0, 2) / base  # [B, n_gen-1, N]
         socs = sv[:, 2 * d : 2 * d + spec.n_des] / base
-        return self.solve_batch(load_f, gen_f, socs, warm_start=warm_start)
+        # Perfect forecasts are time-varying, so the receding-horizon
+        # stage shift genuinely realigns the carry (default on).
+        return self.solve_batch(
+            load_f, gen_f, socs, warm_start=warm_start, warm_shift=warm_shift, polish=polish
+        )

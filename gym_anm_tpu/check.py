@@ -52,7 +52,7 @@ CHECK_CONFIG = {
         T=64,
         seed=0,
         action_scale=1.0,
-        methods={"pallas": {}, "scan": {}, "hybrid": {"pf_max_iter": 6}, "fused": {}},
+        methods={"pallas": {}, "scan": {}, "hybrid": {"pf_max_iter": 6}, "fused": {}, "tree": {}},
     ),
     # ``stress``: the recorded loads are ramped up to (1 + stress)x by the
     # final step, sweeping lanes across the collapse boundary during the
@@ -71,7 +71,7 @@ CHECK_CONFIG = {
     # every load at its bound (the worst legal case), terminated_frac stays
     # 0, and the check's signal is pure state/reward parity of the
     # chord-only f32 path against per-lane NR f64.
-    "feeder141": dict(B=64, T=16, seed=0, action_scale=1.0, stress=2.0, methods={"hybrid": {}}),
+    "feeder141": dict(B=64, T=16, seed=0, action_scale=1.0, stress=2.0, methods={"tree": {}}),
 }
 
 

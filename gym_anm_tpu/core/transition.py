@@ -122,7 +122,24 @@ def resolve_solver_path(spec: GridSpec, pf_method: str, des_soc, P_load, *more):
     import jax
 
     eff = pf_method
+    if eff == "tree_xla":
+        # The tree elimination pinned to the XLA path (ablation mode).
+        return "xla_tree", eff, None
     if eff == "tree":
+        from ..ops import pallas_tree
+
+        if jax.default_backend() == "tpu" or pallas_tree.FORCE_INTERPRET:
+            arrs = (des_soc, P_load) + more
+            bs = np.broadcast_shapes(*(np.shape(a)[:-1] for a in arrs))
+            dts = [np.dtype(spec.dtype)] + [
+                np.dtype(a.dtype) for a in arrs if getattr(a, "dtype", None) is not None
+            ]
+            if len(bs) == 1 and np.result_type(*dts) == np.float32:
+                sched = pallas_tree.schedule_for_spec(spec)
+                if sched is not None and any(
+                    bs[0] % t == 0 for t in pallas_tree.tree_tile_budget(sched)
+                ):
+                    return "pallas_tree", eff, None
         return "xla_tree", eff, None
     if eff in ("fused", "fused_hybrid"):
         from ..ops import pallas_step
@@ -284,7 +301,7 @@ def transition(
         Generator set-points.
     P_set_des, Q_set_des : [n_des]
         Storage set-points.
-    pf_method : {"scan", "while", "pallas", "hybrid", "xla_hybrid", "tree", "fused", "fused_hybrid"}
+    pf_method : {"scan", "while", "pallas", "hybrid", "xla_hybrid", "tree", "tree_xla", "fused", "fused_hybrid"}
         NR loop style; "hybrid" prepends ``chord_iters`` constant-Jacobian
         chord iterations (matmul-only) before ``max_iter`` true-NR
         iterations, on both the Pallas and XLA paths; "xla_hybrid" is the
@@ -292,7 +309,10 @@ def transition(
         ``chord_precision``) even where the Pallas kernel applies.
         "tree" runs true per-lane NR with the tree-structured block
         elimination (radial networks only; O(n) per-lane solves --
-        ops/tree_nr.py), the scalable exact path at feeder141 size.
+        ops/tree_nr.py), the scalable exact path at feeder141 size; on
+        TPU with aligned f32 batches it dispatches to the fused VMEM
+        kernel (ops/pallas_tree.py), and "tree_xla" pins the XLA level
+        sweep for ablation.
         "fused" / "fused_hybrid" run the *entire* transition (projection,
         SoC, bus aggregation, NR, branch flows, reward terms) as one
         Pallas kernel (ops/pallas_step.py) on the TPU fast path --
@@ -410,7 +430,16 @@ def transition(
         from ..ops.power_flow import flat_start_jacobian_inv_np
 
         J0inv = flat_start_jacobian_inv_np(spec.Y_re, spec.Y_im, dtype=spec.dtype)
-    if solver_path == "xla_tree":
+    if solver_path == "pallas_tree":
+        from ..ops import pallas_tree
+
+        sched = pallas_tree.schedule_for_spec(spec)
+        B = p_in.shape[0]
+        tile = next(t for t in pallas_tree.tree_tile_budget(sched) if B % t == 0)
+        v_re, v_im, _, _, converged = pallas_tree.solve_pfe_tree_pallas(
+            sched, p_in, q_in, x_tol=x_tol, max_iter=max_iter, tile=tile, init=v_init
+        )
+    elif solver_path == "xla_tree":
         from ..ops.tree_nr import build_tree_info, solve_pfe_tree
 
         if not (isinstance(spec.Y_re, np.ndarray) and isinstance(spec.br_f, np.ndarray)):

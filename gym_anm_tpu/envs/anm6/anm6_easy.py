@@ -147,7 +147,7 @@ class ANM6Easy(ANM6):
 
 
 def make_core(
-    dtype=None, pf_max_iter=None, pf_method="pallas", network=None, chord_precision=None, chord_iters=16,
+    dtype=None, pf_max_iter=None, pf_method="tree", network=None, chord_precision=None, chord_iters=16,
     nr_pivot=False, warm_start=False,
 ):
     """Build the pure-functional ANM6Easy :class:`EnvCore` (no Gymnasium
@@ -160,7 +160,14 @@ def make_core(
     converges quadratically within that budget or diverges, so 10 fixed
     masked iterations reproduce the reference's 100-cap semantics on the
     straight-line TPU path.  Pass ``pf_max_iter=100, pf_method="while"``
-    for the exact host semantics.  ``warm_start`` keeps the same budget:
+    for the exact host semantics.
+
+    ``pf_method="tree"`` (default since round 5): the 6-bus network is
+    radial, so the tree-structured block elimination applies, and its
+    fused VMEM kernel (ops/pallas_tree.py) measures 16.0M env-steps/s on
+    chip at B=4096 vs 10.1M for the dense Pallas NR kernel
+    (``pf_method="pallas"``, the previous default) -- identical on-chip
+    parity (0 termination mismatches) on both.  ``warm_start`` keeps the same budget:
     measured with scripts/warm_calib.py, warm starting saves no iterations
     here (flat-start NR is already at p50 = 3 and the uniform-random
     actions move the operating point too much) -- a measured dead end kept

@@ -149,29 +149,34 @@ class Feeder141Env(Feeder33Env):
 
 
 def make_core(
-    dtype=None, pf_max_iter=None, pf_method="hybrid", chord_iters=28, x_tol=None, chord_precision=None,
+    dtype=None, pf_max_iter=None, pf_method="tree", chord_iters=28, x_tol=None, chord_precision=None,
     nr_pivot=False, warm_start=False,
 ):
     """Pure-functional EnvCore for the 141-bus network.
 
     Scalable solvers at this size:
 
-    * ``pf_method="tree"`` — **true per-lane NR** via the radial
-      tree-structured block elimination (ops/tree_nr.py): O(n) per-lane
+    * ``pf_method="tree"`` (default since round 5) — **true per-lane NR**
+      via the radial tree-structured block elimination: O(n) per-lane
       solves and sparse Y V products, no [560, 560, B] Jacobian, no
       560-wide dense elimination.  Exact (same solution as per-lane NR to
       round-off) with a calibrated budget of 18 iterations
       (rollout-measured p100 = 15 including termination-adjacent lanes,
       scripts/warm_calib.py; random-injection-sweep interior lanes need
-      only ~3).  ``warm_start`` keeps the same budget (measured: no
+      only ~3).  On TPU with aligned f32 batches it runs as the fused
+      VMEM kernel (ops/pallas_tree.py): 5.22M env-steps/s at B=4096 on
+      chip with a clean parity check — 2.8x the chord-only mode, so the
+      exact solver is now also the fastest and needs no accuracy
+      trade-off.  ``warm_start`` keeps the same budget (measured: no
       iteration savings under per-step injection jumps).
-    * ``pf_method="hybrid"`` (default) — **chord-only** (zero true-NR
+    * ``pf_method="hybrid"`` — **chord-only** (zero true-NR
       tail): one constant [560, 560] x [560, B] MXU matmul per iteration
       with convergence masking; 28 iterations (5.6x the measured chord
       p100 = 5).  Inexact in the sense that lanes the chord method cannot
       converge are flagged terminated even if true NR would converge them
-      (termination decisions nonetheless match per-lane NR everywhere on
-      the sweep, and the tree path now provides the exact fallback).
+      (at 3x loading it mis-terminates 32.8% of convergeable lanes --
+      tests/test_tree_nr.py); kept as the MXU-path ablation/reference
+      mode, 1.89M steps/s.
 
     Budgets from this network's harsh random-injection sweep (per-bus
     aggregate bounds, the protocol of ``scripts/chord_proto.py``).  Lanes
@@ -190,7 +195,7 @@ def make_core(
     if pf_max_iter is None:
         if pf_method in ("hybrid", "xla_hybrid"):
             pf_max_iter = 0
-        elif pf_method == "tree":
+        elif pf_method in ("tree", "tree_xla"):
             pf_max_iter = 18
         else:
             pf_max_iter = 6
@@ -210,8 +215,10 @@ def make_core(
 
         # Host-side dtype resolution (no eager device op).
         f32 = (dtype == _jnp.float32) if dtype is not None else not jax.config.jax_enable_x64
-        chord_only = pf_method in ("hybrid", "xla_hybrid") and pf_max_iter == 0
-        x_tol = 3e-5 if (f32 and (chord_only or pf_method == "tree")) else 1e-5
+        # The plateau is a property of the f32 mismatch itself, not of any
+        # solver (ADVICE r4 #1): every f32 solver config at this size uses
+        # 3e-5, including the scan/NR-tail verification paths.
+        x_tol = 3e-5 if f32 else 1e-5
     if chord_precision is None and pf_method in ("hybrid", "xla_hybrid") and pf_max_iter == 0:
         # Chord-only solve (this env's default; the gate excludes untested
         # hybrid-with-NR-tail configs): the J0inv @ F update products ARE

@@ -165,7 +165,7 @@ def make_core(
     if pf_max_iter is None:
         if pf_method in ("hybrid", "xla_hybrid", "fused_hybrid"):
             pf_max_iter = 6
-        elif pf_method == "tree":
+        elif pf_method in ("tree", "tree_xla"):
             pf_max_iter = 10
         else:
             pf_max_iter = 15

@@ -1,0 +1,568 @@
+"""Fused Pallas TPU kernel for the tree-structured Newton-Raphson solve.
+
+The XLA tree path (:mod:`gym_anm_tpu.ops.tree_nr`) is exact per-lane NR at
+O(n) block-operations per lane, but its level sweep materializes every
+``.at[lo:hi].set`` as a full ``[m, B]`` HBM round trip: ~20 such writes per
+level x ~20 levels x ~18 iterations moves ~14 GB/step-batch at feeder141
+size, which is exactly the measured 364k steps/s wall (RESULTS.md round 4
+ablation: ~93% of tree cost is per-iteration sweep work).  This kernel runs
+the whole solve inside VMEM for a tile of environments, where a per-level
+row write costs only the rows it touches.
+
+TPU-first structure (beyond what the XLA path already does):
+
+* **Slot renumbering with per-level 8-row alignment.**  Nodes are laid out
+  leaves-first in contiguous levels like the XLA path, but each level is
+  padded to the f32 sublane tile (8 rows) so every level slice is aligned;
+  pad slots carry zero admittances and an identity 2x2 diagonal block, so
+  they compute exact zeros forever (never NaN) and are masked out of the
+  mismatch norm.
+* **Parent/child maps become "runs".**  Within each level, nodes are
+  ordered by their parent's slot, and the parent map is decomposed on the
+  host into maximal constant-offset runs ``(src, k, dst)`` meaning
+  ``parent_slot(src + i) = dst + i``.  Every gather (parent voltages,
+  back-substitution) and every push (child Schur complements, child YV
+  contributions) is then a contiguous slice copy / read-modify-write on a
+  VMEM scratch ref -- no gathers, no scatters, no full-array copies.  On
+  feeder-shaped trees (chains with laterals) almost all links are chain
+  links, so a level's pushes collapse into a handful of slice ops.
+* **One mismatch evaluation per iteration.**  The carried state is only
+  ``(theta, vm, diff, it)``; mismatch/currents are re-evaluated at the
+  carried point each iteration (bit-deterministic, so re-evaluation equals
+  the carried value the XLA path keeps) and the Jacobian blocks are built
+  per level from slices -- no full-width D/L/U arrays stay live.
+* **Early exit.**  The NR body runs under ``pl.when(any lane active)``:
+  a tile whose lanes have all converged/diverged skips the remaining
+  iterations of its fixed budget entirely (the lockstep XLA path always
+  executes the full budget).
+
+The math is identical to :func:`gym_anm_tpu.ops.tree_nr.solve_pfe_tree`
+(same flat start, mismatch, polar Jacobian blocks, leaf-to-root 2x2 Schur
+elimination, stopping rule -- reference semantics per
+solve_load_flow.py:176-226); results agree to f32 round-off
+(tests/test_pallas_tree.py).  float32 only, like the other kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tree_nr import build_tree_info
+
+DEFAULT_TILE = 512
+
+# Test hook: lets CPU tests route pf_method="tree" through the kernel in
+# Pallas interpret mode (see core/transition.py dispatch).
+FORCE_INTERPRET = False
+
+# Ablation/debug hook: wrap the NR body in pl.when(any lane active) so a
+# fully-converged tile skips its remaining budget.  Module-level so chip
+# probes can bisect compiler issues; the dispatcher always uses the default.
+EARLY_EXIT = True
+
+# Debug hook for chip-side compiler bisection (None | "eval_only" |
+# "one_step"): truncates the traced kernel after the mismatch evaluation /
+# after one unwrapped NR step.  Never set in production paths.
+DEBUG_STAGE = None
+
+# One schedule object per grid: the schedule is a static jit argument
+# hashed by identity, so repeated traces must see the same object.
+_SCHED_CACHE = {}
+
+
+def schedule_for_spec(spec, align: int = 8):
+    """The (cached) kernel schedule for a static-NumPy GridSpec, or None
+    when the spec's leaves are traced or the network is not radial."""
+    if not (isinstance(spec.Y_re, np.ndarray) and isinstance(spec.br_f, np.ndarray)):
+        return None
+    key = (id(spec.Y_re), id(spec.br_f), align)
+    hit = _SCHED_CACHE.get(key)
+    if hit is not None and hit[0] is spec.Y_re and hit[1] is spec.br_f:
+        return hit[2]
+    sched = build_tree_schedule(spec.br_f, spec.br_t, spec.n_bus, spec.Y_re, spec.Y_im, align=align)
+    _SCHED_CACHE[key] = (spec.Y_re, spec.br_f, sched)
+    return sched
+
+# Column layout of the per-slot static table (the kernel cannot capture
+# array literals; statics ride in as one [S, 8] VMEM const ref).
+_YC_DIAG_RE, _YC_DIAG_IM = 0, 1  # Y[bus, bus]
+_YC_UP_RE, _YC_UP_IM = 2, 3  # Y[bus, parent]
+_YC_DOWN_RE, _YC_DOWN_IM = 4, 5  # Y[parent, bus]
+_YC_HASPAR, _YC_PAD = 6, 7  # non-slack-parent mask; pad-slot mask
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class TreeSchedule:
+    """Host-side (NumPy) kernel schedule for one radial network.
+
+    ``eq=False``: the schedule is a trace-time constant passed as a static
+    jit argument; identity hashing (one schedule object per grid, see the
+    ``schedule_for_spec`` cache) avoids hashing the NumPy leaves."""
+
+    n_bus: int
+    S: int  # padded slot count
+    levels: tuple  # ((off, W, k), ...) leaves first; W = padded width
+    runs: tuple  # per level: ((src, k, dst), ...): parent(src+i) = dst+i
+    slot_busm1: np.ndarray  # [S] bus-1 of the node at each slot; -1 = pad
+    busm1_slot: np.ndarray  # [m] slot of bus b+1 (inverse of the above)
+    ycols: np.ndarray  # [S, 8] float32 static table (see _YC_*)
+    maxC: int  # max children per node (flops model)
+
+    @property
+    def n_links(self) -> int:
+        return int(sum(k for lruns in self.runs for (_, k, _) in lruns))
+
+
+def build_tree_schedule(br_f, br_t, n_bus, Y_re, Y_im, align: int = 8):
+    """Derive the kernel schedule, or ``None`` for non-radial networks.
+
+    ``align`` pads each level to a multiple of this many rows (8 = the f32
+    sublane tile, so every level slice is tile-aligned; 1 = no padding).
+    """
+    tree = build_tree_info(br_f, br_t, n_bus, Y_re, Y_im)
+    if tree is None:
+        return None
+    m = tree.bus.shape[0]
+    L = len(tree.levels)
+    lvl_eo = [list(range(lo, hi)) for lo, hi in tree.levels]
+
+    # Top-down within-level ordering: nodes sort by their parent's final
+    # position, so chain links become constant-offset runs; slack-parent
+    # nodes go last (they take no push and would otherwise break runs).
+    order = [None] * L
+    pos = {}  # eo -> (level, idx in final order)
+    for l in range(L - 1, -1, -1):
+        if l == L - 1:
+            order[l] = list(lvl_eo[l])
+        else:
+
+            def key(e):
+                pe = int(tree.par_eo[e])
+                if pe == m:  # slack parent
+                    return (L, 0, e)
+                return pos[pe] + (e,)
+
+            order[l] = sorted(lvl_eo[l], key=key)
+        for i, e in enumerate(order[l]):
+            pos[e] = (l, i)
+
+    # Slot layout.
+    pad = lambda k: -(-k // align) * align
+    offs, widths = [], []
+    off = 0
+    for l in range(L):
+        k = len(order[l])
+        offs.append(off)
+        widths.append(pad(k))
+        off += widths[-1]
+    S = off
+    slot_of_eo = {}
+    slot_busm1 = np.full(S, -1, dtype=np.int64)
+    for l in range(L):
+        for i, e in enumerate(order[l]):
+            slot_of_eo[e] = offs[l] + i
+            slot_busm1[offs[l] + i] = int(tree.bus[e]) - 1
+    busm1_slot = np.empty(m, dtype=np.int64)
+    for s in range(S):
+        if slot_busm1[s] >= 0:
+            busm1_slot[slot_busm1[s]] = s
+
+    # Run decomposition of the parent map, per (child) level.
+    runs = []
+    for l in range(L):
+        lruns = []
+        cur = None  # [src, k, dst]
+        for i, e in enumerate(order[l]):
+            pe = int(tree.par_eo[e])
+            if pe == m:
+                cur = None
+                continue
+            src, dst = offs[l] + i, slot_of_eo[pe]
+            if cur is not None and src == cur[0] + cur[1] and dst == cur[2] + cur[1]:
+                cur[1] += 1
+            else:
+                cur = [src, 1, dst]
+                lruns.append(cur)
+        runs.append(tuple((a, b, c) for a, b, c in lruns))
+
+    # Static per-slot table.
+    Y_re = np.asarray(Y_re, np.float64)
+    Y_im = np.asarray(Y_im, np.float64)
+    yc = np.zeros((S, 8), dtype=np.float32)
+    for l in range(L):
+        for i, e in enumerate(order[l]):
+            s = offs[l] + i
+            b = int(tree.bus[e])
+            pb = int(tree.par_bus[e])
+            yc[s, _YC_DIAG_RE] = Y_re[b, b]
+            yc[s, _YC_DIAG_IM] = Y_im[b, b]
+            yc[s, _YC_UP_RE] = Y_re[b, pb]
+            yc[s, _YC_UP_IM] = Y_im[b, pb]
+            yc[s, _YC_DOWN_RE] = Y_re[pb, b]
+            yc[s, _YC_DOWN_IM] = Y_im[pb, b]
+            yc[s, _YC_HASPAR] = 1.0 if tree.has_par[e] else 0.0
+    yc[slot_busm1 < 0, _YC_PAD] = 1.0
+
+    return TreeSchedule(
+        n_bus=n_bus,
+        S=S,
+        levels=tuple(zip(offs, widths, (len(o) for o in order))),
+        runs=tuple(runs),
+        slot_busm1=slot_busm1,
+        busm1_slot=busm1_slot,
+        ycols=yc,
+        maxC=tree.ch_eo.shape[1],
+    )
+
+
+def tree_pallas_flops_per_lane(sched: TreeSchedule, max_iter: int, warm: bool = False) -> int:
+    """Analytic executed-FLOP upper bound per lane (conventions of
+    ``ops.pallas_nr.nr_flops_per_lane``: pad slots and masked lanes count,
+    divides/transcendentals = 1, compares/selects = 0).  Upper bound
+    because the ``pl.when`` early exit skips iterations the lockstep XLA
+    path would execute; bench MFU/roofline numbers built on it are
+    therefore conservative."""
+    S, links = sched.S, sched.n_links
+    # eval: construct v 4S; vpar fill 0; child YV cmul 6S + 2*links adds;
+    # diag+up currents 16S; mismatch 10S; diff 2S.
+    ev = 38 * S + 2 * links
+    # solve: D/L/U blocks ~130S; elimination (Dinv, M, Schur) ~46S + pushes
+    # 6*links; back-sub (U rebuild 16S, solve 12S) + gathers 0; update 6S.
+    sv = 198 * S + 6 * links
+    setup = ev * (2 if warm else 1)
+    return setup + max_iter * (ev + sv) + ev  # + final eval
+
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _tree_tile_kernel(*refs, sched: TreeSchedule, x_tol, max_iter, warm):
+    if warm:
+        (yc, p_ref, q_ref, thw_ref, vmw_ref, vrout, viout, dout, itout,
+         th_ref, vm_ref, diff_ref, it_ref, vpr, vpi, air, aii,
+         a00, a01, a10, a11, ab0, ab1, x0, x1, xp0_ref, xp1_ref) = refs
+    else:
+        (yc, p_ref, q_ref, vrout, viout, dout, itout,
+         th_ref, vm_ref, diff_ref, it_ref, vpr, vpi, air, aii,
+         a00, a01, a10, a11, ab0, ab1, x0, x1, xp0_ref, xp1_ref) = refs
+    S = sched.S
+    TB = p_ref.shape[1]
+    fdt = jnp.float32
+
+    ydr, ydi = yc[:, _YC_DIAG_RE : _YC_DIAG_RE + 1], yc[:, _YC_DIAG_IM : _YC_DIAG_IM + 1]
+    yur, yui = yc[:, _YC_UP_RE : _YC_UP_RE + 1], yc[:, _YC_UP_IM : _YC_UP_IM + 1]
+    ywr, ywi = yc[:, _YC_DOWN_RE : _YC_DOWN_RE + 1], yc[:, _YC_DOWN_IM : _YC_DOWN_IM + 1]
+    hp = yc[:, _YC_HASPAR : _YC_HASPAR + 1]  # [S, 1]
+    padm = yc[:, _YC_PAD : _YC_PAD + 1]
+    realm = 1.0 - padm
+
+    all_runs = [r for lruns in sched.runs for r in lruns]
+
+    def eval_point(theta, vm):
+        """(vr, vi, ir, ii, Fp, Fq, diff) at (theta, vm); fills vpr/vpi
+        (parent voltages; slack parents read the pinned 1+0j) and air/aii
+        (child YV contributions) as a side effect."""
+        vr = vm * jnp.cos(theta)
+        vi = vm * jnp.sin(theta)
+        # Parent voltages: init to the slack 1+0j, overwrite via runs.
+        vpr[:] = jnp.ones((S, TB), fdt)
+        vpi[:] = jnp.zeros((S, TB), fdt)
+        for src, k, dst in all_runs:
+            vpr[pl.ds(src, k)] = vr[dst : dst + k]
+            vpi[pl.ds(src, k)] = vi[dst : dst + k]
+        # Child contributions to I = YV, pushed parent-ward via the runs.
+        cwr, cwi = _cmul(ywr, ywi, vr, vi)  # y_down * v at the child
+        air[:] = jnp.zeros((S, TB), fdt)
+        aii[:] = jnp.zeros((S, TB), fdt)
+        for src, k, dst in all_runs:
+            air[pl.ds(dst, k)] = air[pl.ds(dst, k)] + cwr[src : src + k]
+            aii[pl.ds(dst, k)] = aii[pl.ds(dst, k)] + cwi[src : src + k]
+        dr, di_ = _cmul(ydr, ydi, vr, vi)
+        ur, ui = _cmul(yur, yui, vpr[:], vpi[:])
+        ir = dr + ur + air[:]
+        ii = di_ + ui + aii[:]
+        Fp = realm * (vr * ir + vi * ii - p_ref[:])
+        Fq = realm * (vi * ir - vr * ii - q_ref[:])
+        diff = jnp.maximum(
+            jnp.max(jnp.abs(Fp), axis=0, keepdims=True),
+            jnp.max(jnp.abs(Fq), axis=0, keepdims=True),
+        )  # [1, TB]
+        return vr, vi, ir, ii, Fp, Fq, diff
+
+    def blocks(a, b, wre, wim, ure, uim, t1r=None, t1i=None):
+        """2x2 polar Jacobian block entries (solve_load_flow.py:123-164),
+        identical to ops/tree_nr.py jacobian_blocks."""
+        dSa_re = a * wim - b * wre
+        dSa_im = a * wre + b * wim
+        dSm_re = a * ure + b * uim
+        dSm_im = b * ure - a * uim
+        if t1r is not None:
+            dSm_re = dSm_re + t1r
+            dSm_im = dSm_im + t1i
+        return dSa_re, dSm_re, dSa_im, dSm_im
+
+    def solve_and_update(vr, vi, ir, ii, Fp, Fq, active_col):
+        """One NR step: per-level Jacobian blocks + leaf-to-root Schur
+        elimination + back-substitution; masked carry updates."""
+        zeros = jnp.zeros((S, TB), fdt)
+        for r in (a00, a01, a10, a11, ab0, ab1):
+            r[:] = zeros
+
+        for (off, W, k), lruns in zip(sched.levels, sched.runs):
+            sl = slice(off, off + W)
+            vbr, vbi = vr[sl], vi[sl]
+            irl, iil = ir[sl], ii[sl]
+            vmag = jnp.sqrt(vbr * vbr + vbi * vbi)
+            vnr, vni = vbr / vmag, vbi / vmag
+            vprl, vpil = vpr[sl], vpi[sl]
+            pmag = jnp.sqrt(vprl * vprl + vpil * vpil)  # slack parents: 1
+            pnr, pni = vprl / pmag, vpil / pmag
+            ydr_l, ydi_l = ydr[sl], ydi[sl]
+            yur_l, yui_l = yur[sl], yui[sl]
+            ywr_l, ywi_l = ywr[sl], ywi[sl]
+            hpl, padl = hp[sl], padm[sl]
+
+            # Diagonal: w = I - Y_ii v ; u = Y_ii vn ; t1 = vn conj(I).
+            yvr, yvi = _cmul(ydr_l, ydi_l, vbr, vbi)
+            ure, uim = _cmul(ydr_l, ydi_l, vnr, vni)
+            t1r = vnr * irl + vni * iil
+            t1i = vni * irl - vnr * iil
+            D00, D01, D10, D11 = blocks(vbr, vbi, irl - yvr, iil - yvi, ure, uim, t1r, t1i)
+            # Pad slots: identity diagonal block (keeps them exactly zero).
+            D00 = D00 + padl
+            D11 = D11 + padl
+
+            # L = J[par, node]: row voltage v_par, w = -Y_down v, u = Y_down vn.
+            wre, wim = _cmul(ywr_l, ywi_l, vbr, vbi)
+            ure, uim = _cmul(ywr_l, ywi_l, vnr, vni)
+            L00, L01, L10, L11 = blocks(vprl, vpil, -wre, -wim, ure, uim)
+            # U = J[node, par]: row voltage v, w = -Y_up v_par, u = Y_up vn_par.
+            wre, wim = _cmul(yur_l, yui_l, vprl, vpil)
+            ure, uim = _cmul(yur_l, yui_l, pnr, pni)
+            U00, U01, U10, U11 = blocks(vbr, vbi, -wre, -wim, ure, uim)
+            L00, L01, L10, L11 = (hpl * L00, hpl * L01, hpl * L10, hpl * L11)
+            U00, U01, U10, U11 = (hpl * U00, hpl * U01, hpl * U10, hpl * U11)
+
+            # Effective diagonal/rhs = initial - accumulated child Schur.
+            d00 = D00 - a00[sl]
+            d01 = D01 - a01[sl]
+            d10 = D10 - a10[sl]
+            d11 = D11 - a11[sl]
+            b0 = Fp[sl] - ab0[sl]
+            b1 = Fq[sl] - ab1[sl]
+            det = d00 * d11 - d01 * d10
+            i00, i01, i10, i11 = d11 / det, -d01 / det, -d10 / det, d00 / det
+            # Overwrite the accumulators with Dinv / beff for back-sub
+            # (this level's accumulation is complete once processed).
+            a00[sl], a01[sl], a10[sl], a11[sl] = i00, i01, i10, i11
+            ab0[sl], ab1[sl] = b0, b1
+
+            # Push the Schur complement to the parents: M = L Dinv,
+            # cD = M U, cB = M b (slack parents: L = 0 already).
+            M00 = L00 * i00 + L01 * i10
+            M01 = L00 * i01 + L01 * i11
+            M10 = L10 * i00 + L11 * i10
+            M11 = L10 * i01 + L11 * i11
+            c00 = M00 * U00 + M01 * U10
+            c01 = M00 * U01 + M01 * U11
+            c10 = M10 * U00 + M11 * U10
+            c11 = M10 * U01 + M11 * U11
+            cb0 = M00 * b0 + M01 * b1
+            cb1 = M10 * b0 + M11 * b1
+            for src, kk, dst in lruns:
+                s0 = src - off
+                for acc, val in ((a00, c00), (a01, c01), (a10, c10), (a11, c11), (ab0, cb0), (ab1, cb1)):
+                    acc[pl.ds(dst, kk)] = acc[pl.ds(dst, kk)] + val[s0 : s0 + kk]
+
+        # Back-substitution, root level first.
+        for (off, W, k), lruns in zip(reversed(sched.levels), reversed(sched.runs)):
+            sl = slice(off, off + W)
+            # Parent solutions, gathered via the same runs into scratch
+            # refs (zeros for slack parents and pads; Mosaic has no
+            # value-space update_slice, so these are ref row writes).
+            xp0_ref[sl] = jnp.zeros((W, TB), fdt)
+            xp1_ref[sl] = jnp.zeros((W, TB), fdt)
+            for src, kk, dst in lruns:
+                xp0_ref[pl.ds(src, kk)] = x0[pl.ds(dst, kk)]
+                xp1_ref[pl.ds(src, kk)] = x1[pl.ds(dst, kk)]
+            xp0 = xp0_ref[sl]
+            xp1 = xp1_ref[sl]
+            # Rebuild U for this level (cheaper than keeping it live).
+            vbr, vbi = vr[sl], vi[sl]
+            vprl, vpil = vpr[sl], vpi[sl]
+            pmag = jnp.sqrt(vprl * vprl + vpil * vpil)
+            pnr, pni = vprl / pmag, vpil / pmag
+            wre, wim = _cmul(yur[sl], yui[sl], vprl, vpil)
+            ure, uim = _cmul(yur[sl], yui[sl], pnr, pni)
+            U00, U01, U10, U11 = blocks(vbr, vbi, -wre, -wim, ure, uim)
+            hpl = hp[sl]
+            r0 = ab0[sl] - hpl * (U00 * xp0 + U01 * xp1)
+            r1 = ab1[sl] - hpl * (U10 * xp0 + U11 * xp1)
+            x0[sl] = a00[sl] * r0 + a01[sl] * r1
+            x1[sl] = a10[sl] * r0 + a11[sl] * r1
+
+        theta = th_ref[:]
+        vm = vm_ref[:]
+        th_ref[:] = jnp.where(active_col, theta - x0[:], theta)
+        vm_ref[:] = jnp.where(active_col, vm - x1[:], vm)
+        it_ref[:] = it_ref[:] + active_col.astype(jnp.int32)
+
+    # ---- init: flat start (optionally best-of with a warm point) --------
+    # The flat point is written to the carry refs FIRST and evaluated via
+    # ref loads: evaluating jnp.zeros/ones literals directly lets Mosaic
+    # constant-fold cos(0)*1 into 1-lane broadcast values, and row-slicing
+    # such a deferred broadcast (the run copies in eval_point) crashes the
+    # compiler ("Check failed: limits[i] <= dim(i)", bisected on chip --
+    # docs/quirks.md #12).  Ref loads are opaque to folding.
+    th_ref[:] = jnp.zeros((S, TB), fdt)
+    vm_ref[:] = jnp.ones((S, TB), fdt)
+    _, _, _, _, _, _, diff_f = eval_point(th_ref[:], vm_ref[:])
+    diff_ref[:] = diff_f
+    if warm:
+        th_w, vm_w = thw_ref[:], vmw_ref[:]
+        _, _, _, _, _, _, diff_w = eval_point(th_w, vm_w)
+        use_w = jnp.isfinite(diff_w) & (diff_w < diff_ref[:])  # [1, TB]
+        th_ref[:] = jnp.where(use_w, th_w, th_ref[:])
+        vm_ref[:] = jnp.where(use_w, vm_w, vm_ref[:])
+        diff_ref[:] = jnp.where(use_w, diff_w, diff_ref[:])
+    it_ref[:] = jnp.zeros((1, TB), jnp.int32)
+
+    # ---- fixed-budget NR loop with early exit ---------------------------
+    def iteration():
+        theta, vm = th_ref[:], vm_ref[:]
+        vr, vi, ir, ii, Fp, Fq, d_now = eval_point(theta, vm)
+        # d_now re-evaluates the carried point bit-identically, so it
+        # equals the post-step diff of the previous iteration: the
+        # activity mask and the diff carry are exactly the XLA path's.
+        active_col = d_now > x_tol  # [1, TB]; NaN freezes the lane
+
+        if EARLY_EXIT:
+
+            @pl.when(jnp.any(active_col))
+            def _():
+                solve_and_update(vr, vi, ir, ii, Fp, Fq, active_col)
+
+        else:
+            solve_and_update(vr, vi, ir, ii, Fp, Fq, active_col)
+        diff_ref[:] = d_now
+
+    def body(_k, carry):
+        if EARLY_EXIT:
+
+            @pl.when(jnp.any(diff_ref[:] > x_tol))
+            def _():
+                iteration()
+
+        else:
+            iteration()
+        return carry
+
+    if DEBUG_STAGE == "eval_only":
+        pass
+    elif DEBUG_STAGE == "one_step":
+        iteration()
+    else:
+        lax.fori_loop(0, max_iter, body, 0)
+
+    # ---- outputs: final voltages + post-final mismatch ------------------
+    theta, vm = th_ref[:], vm_ref[:]
+    vr, vi, _, _, _, _, d_fin = eval_point(theta, vm)
+    vrout[:] = vr
+    viout[:] = vi
+    dout[:] = d_fin
+    itout[:] = it_ref[:]
+
+
+def tree_tile_budget(sched: TreeSchedule, vmem_bytes=14 * 2**20):
+    """Lane tiles whose scratch + I/O VMEM footprint fits the per-kernel
+    budget (16 full-width [S, tile] refs + ~8 I/O rows of the same shape,
+    with a 1.5x allowance for Mosaic liveness)."""
+    S = sched.S
+    words = int(1.5 * (16 + 8) * S)
+    return [t for t in (512, 256, 128) if words * t * 4 <= vmem_bytes]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sched", "x_tol", "max_iter", "tile", "warm")
+)
+def _solve_jit(sched, p, q, x_tol, max_iter, tile, warm, th_w, vm_w):
+    B, m = p.shape
+    S = sched.S
+    fdt = p.dtype
+    # Bus order -> slot order (pads read a zero row), batch-last.
+    sel = np.where(sched.slot_busm1 >= 0, sched.slot_busm1, m)
+    pT = jnp.concatenate([p.T, jnp.zeros((1, B), fdt)], axis=0)[sel]
+    qT = jnp.concatenate([q.T, jnp.zeros((1, B), fdt)], axis=0)[sel]
+
+    lane = lambda rows, dt=fdt: pl.BlockSpec((rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ins = [jnp.asarray(sched.ycols), pT, qT]
+    in_specs = [
+        pl.BlockSpec((S, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        lane(S),
+        lane(S),
+    ]
+    if warm:
+        ins += [th_w, vm_w]
+        in_specs += [lane(S), lane(S)]
+
+    kernel = functools.partial(
+        _tree_tile_kernel, sched=sched, x_tol=x_tol, max_iter=max_iter, warm=warm
+    )
+    scratch = [pltpu.VMEM((S, tile), jnp.float32) for _ in range(2)]  # th, vm
+    scratch += [pltpu.VMEM((1, tile), jnp.float32), pltpu.VMEM((1, tile), jnp.int32)]  # diff, it
+    scratch += [pltpu.VMEM((S, tile), jnp.float32) for _ in range(14)]
+    vr_s, vi_s, diff, it = pl.pallas_call(
+        kernel,
+        grid=(B // tile,),
+        in_specs=in_specs,
+        out_specs=[lane(S), lane(S), lane(1), lane(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, B), fdt),
+            jax.ShapeDtypeStruct((S, B), fdt),
+            jax.ShapeDtypeStruct((1, B), fdt),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        scratch_shapes=scratch,
+    )(*ins)
+
+    # Slot order -> bus order with the pinned slack row.
+    vr = jnp.concatenate([jnp.ones((1, B), fdt), vr_s[sched.busm1_slot]], axis=0)
+    vi = jnp.concatenate([jnp.zeros((1, B), fdt), vi_s[sched.busm1_slot]], axis=0)
+    return vr.T, vi.T, diff[0], it[0]
+
+
+def solve_pfe_tree_pallas(
+    sched: TreeSchedule, p, q, x_tol=1e-5, max_iter=10, tile=None, init=None
+):
+    """Batched tree-NR solve via the fused VMEM kernel.
+
+    ``p, q``: [B, m] float32 non-slack bus injections (B a multiple of the
+    lane tile).  ``init`` optionally warm-starts from previous bus voltages
+    ``(v_re [B, n], v_im [B, n])`` with the per-lane best-of-{warm, flat}
+    guard of the other solvers.  Returns
+    ``(v_re [B, n], v_im [B, n], diff [B], n_iter [B], converged [B])``.
+    """
+    B, m = p.shape
+    if tile is None:
+        tile = next(t for t in tree_tile_budget(sched) if B % t == 0)
+    warm = init is not None
+    th_w = vm_w = None
+    if warm:
+        from .power_flow import warm_init_theta_vm
+
+        th_b, vm_b, _ = warm_init_theta_vm(init[0], init[1], m, p.dtype)  # [m, B] bus order
+        sel = np.where(sched.slot_busm1 >= 0, sched.slot_busm1, m)
+        th_w = jnp.concatenate([th_b, jnp.zeros((1, B), p.dtype)], axis=0)[sel]
+        vm_w = jnp.concatenate([vm_b, jnp.ones((1, B), p.dtype)], axis=0)[sel]
+    v_re, v_im, diff, it = _solve_jit(sched, p, q, x_tol, max_iter, tile, warm, th_w, vm_w)
+    return v_re, v_im, diff, it, diff <= x_tol

@@ -52,9 +52,7 @@ function handleMessage(msg) {
     buildScene();
   } else if (msg.messageLabel === "update" && spec !== null) {
     frame = msg;
-    updateClock(msg);
-    updateReward(msg);
-    applyFrame(msg);
+    applyFrame(msg); // drives the scene, clock and reward bars
   }
 }
 
@@ -104,26 +102,6 @@ function setupReplay(data) {
     }, data.intervalMs || 500);
   });
   show(0);
-}
-
-function updateClock(msg) {
-  const [month, day, hour, minute] = msg.time;
-  const pad = (x) => String(x).padStart(2, "0");
-  let s = `${pad(day)}/${pad(month)} ${pad(hour)}:${pad(minute)}`;
-  if (msg.yearCount > 0) s += `  (+${msg.yearCount}y)`;
-  document.getElementById("clock").textContent = s;
-}
-
-function updateReward(msg) {
-  const [eloss, penalty] = msg.reward;
-  const eb = document.getElementById("eloss-bar");
-  const pb = document.getElementById("penalty-bar");
-  eb.style.width = Math.min(100, (100 * Math.abs(eloss)) / spec.energyLossMax) + "%";
-  pb.style.width = Math.min(100, (100 * penalty) / spec.penaltyMax) + "%";
-  document.getElementById("eloss-val").textContent = eloss.toFixed(3);
-  document.getElementById("penalty-val").textContent = penalty.toFixed(3);
-  document.getElementById("collapse-banner").hidden = !msg.networkCollapsed;
-  document.getElementById("collapse-overlay").hidden = !msg.networkCollapsed;
 }
 
 /* ------------------------------------------------------------------ */
@@ -418,31 +396,39 @@ function buildLegend() {
 /* ------------------------------------------------------------------ */
 /* Frame application                                                   */
 /* ------------------------------------------------------------------ */
-function applyFrame(msg) {
-  if (!scene) return;
+/* Pure frame -> SVG-attribute computation.  No DOM access: everything the
+ * update path decides (colors, geometry, labels, visibility) is computed
+ * here from (spec, scene geometry, update msg) into plain data, and
+ * applyFrame below only copies it onto the elements.  This function's
+ * source is PINNED byte-for-byte by tests/test_replay_artifact.py, which
+ * also runs a line-by-line Python mirror of it on the committed replay
+ * payload: changing the logic here without updating the mirror (and the
+ * pinned copy in tests/data/frame_attrs_pinned.js) fails the suite. */
+function frameAttrs(spec, scene, msg) {
+  const out = { branches: [], buses: [], devices: [], reward: null, clock: null };
 
   // Branches: loading color, |S|/rate label, dash direction.
-  scene.branches.forEach((br, k) => {
-    const s = msg.sFlows[k];
+  msg.sFlows.forEach((s, k) => {
     const mag = Math.abs(s);
     const rate = spec.sRate[k];
     const frac = rate > 0 && isFinite(rate) ? mag / rate : 0;
-    br.flow.setAttribute("stroke", loadColor(frac));
-    br.flow.setAttribute("stroke-width", frac > 1 ? 4.5 : 3);
-    br.lbl.textContent = isFinite(rate)
-      ? `${mag.toFixed(1)}/${rate.toFixed(0)} MVA`
-      : `${mag.toFixed(1)} MVA`;
-    br.dir = s >= 0 ? 1 : -1;
-    br.speed = Math.min(3, 0.4 + 2.6 * frac);
+    out.branches.push({
+      stroke: loadColor(frac),
+      strokeWidth: frac > 1 ? 4.5 : 3,
+      label: isFinite(rate) ? `${mag.toFixed(1)}/${rate.toFixed(0)} MVA` : `${mag.toFixed(1)} MVA`,
+      dir: s >= 0 ? 1 : -1,
+      speed: Math.min(3, 0.4 + 2.6 * frac),
+    });
   });
 
   // Buses: voltage readout, red when out of bounds.
-  scene.buses.forEach((b, i) => {
-    const v = msg.vMagn[i];
+  msg.vMagn.forEach((v, i) => {
     const bad = v < spec.vMagnMin[i] - 1e-9 || v > spec.vMagnMax[i] + 1e-9;
-    b.bar.setAttribute("fill", bad ? COL.busBad : COL.bus);
-    b.vLbl.textContent = `${v.toFixed(3)} pu`;
-    b.vLbl.setAttribute("fill", bad ? COL.busBad : COL.text);
+    out.buses.push({
+      fill: bad ? COL.busBad : COL.bus,
+      text: `${v.toFixed(3)} pu`,
+      textFill: bad ? COL.busBad : COL.text,
+    });
   });
 
   // Devices: P bar, labels, curtailment tick, SoC fill.
@@ -452,34 +438,100 @@ function applyFrame(msg) {
     const pmax = spec.pMax[dv.d];
     const frac = pmax > 0 && isFinite(pmax) ? Math.max(-1, Math.min(1, p / pmax)) : 0;
     const w = (Math.abs(frac) * dv.gw) / 2;
-    dv.pBar.setAttribute("x", frac >= 0 ? dv.cx : dv.cx - w);
-    dv.pBar.setAttribute("width", w);
-    dv.pBar.setAttribute("fill", frac >= 0 ? COL.pPos : COL.pNeg);
-    dv.pLbl.textContent = `${p.toFixed(1)} MW / ${q.toFixed(1)} MVAr`;
-
+    const a = {
+      d: dv.d,
+      barX: frac >= 0 ? dv.cx : dv.cx - w,
+      barW: w,
+      barFill: frac >= 0 ? COL.pPos : COL.pNeg,
+      label: `${p.toFixed(1)} MW / ${q.toFixed(1)} MVAr`,
+      pot: null,
+      soc: null,
+    };
     if (dv.potTick && dv.type === 2) {
       const pot = msg.pPotential[scene.genIndex[dv.d]];
       if (isFinite(pot) && pmax > 0) {
         const px = dv.cx + (Math.max(-1, Math.min(1, pot / pmax)) * dv.gw) / 2;
-        dv.potTick.setAttribute("x1", px);
-        dv.potTick.setAttribute("x2", px);
-        dv.potTick.setAttribute("visibility", "visible");
+        a.pot = { x: px, visible: true };
       } else {
-        dv.potTick.setAttribute("visibility", "hidden");
+        a.pot = { x: dv.cx, visible: false };
       }
     } else if (dv.potTick) {
-      dv.potTick.setAttribute("visibility", "hidden");
+      a.pot = { x: dv.cx, visible: false };
     }
-
     if (dv.socFill) {
       const soc = msg.socStorage[scene.socIndex[dv.d]];
       const maxSoc = spec.socMax[scene.socIndex[dv.d]];
       const f = maxSoc > 0 ? Math.max(0, Math.min(1, soc / maxSoc)) : 0;
       const h = 18 * f;
-      dv.socFill.setAttribute("height", h);
-      dv.socFill.setAttribute("y", dv.iconY + 9 - h);
+      a.soc = { height: h, y: dv.iconY + 9 - h };
     }
+    out.devices.push(a);
   }
+
+  // Reward bars + collapse banner (updateReward's decisions).
+  const [eloss, penalty] = msg.reward;
+  out.reward = {
+    elossPct: Math.min(100, (100 * Math.abs(eloss)) / spec.energyLossMax),
+    penaltyPct: Math.min(100, (100 * penalty) / spec.penaltyMax),
+    elossText: eloss.toFixed(3),
+    penaltyText: penalty.toFixed(3),
+    collapsed: !!msg.networkCollapsed,
+  };
+
+  // Clock readout (updateClock's string).
+  const [month, day, hour, minute] = msg.time;
+  const pad = (x) => String(x).padStart(2, "0");
+  let clock = `${pad(day)}/${pad(month)} ${pad(hour)}:${pad(minute)}`;
+  if (msg.yearCount > 0) clock += `  (+${msg.yearCount}y)`;
+  out.clock = clock;
+
+  return out;
+}
+
+function applyFrame(msg) {
+  if (!scene) return;
+  const fa = frameAttrs(spec, scene, msg);
+
+  fa.branches.forEach((a, k) => {
+    const br = scene.branches[k];
+    br.flow.setAttribute("stroke", a.stroke);
+    br.flow.setAttribute("stroke-width", a.strokeWidth);
+    br.lbl.textContent = a.label;
+    br.dir = a.dir;
+    br.speed = a.speed;
+  });
+
+  fa.buses.forEach((a, i) => {
+    const b = scene.buses[i];
+    b.bar.setAttribute("fill", a.fill);
+    b.vLbl.textContent = a.text;
+    b.vLbl.setAttribute("fill", a.textFill);
+  });
+
+  fa.devices.forEach((a, j) => {
+    const dv = scene.devices[j];
+    dv.pBar.setAttribute("x", a.barX);
+    dv.pBar.setAttribute("width", a.barW);
+    dv.pBar.setAttribute("fill", a.barFill);
+    dv.pLbl.textContent = a.label;
+    if (a.pot && dv.potTick) {
+      dv.potTick.setAttribute("x1", a.pot.x);
+      dv.potTick.setAttribute("x2", a.pot.x);
+      dv.potTick.setAttribute("visibility", a.pot.visible ? "visible" : "hidden");
+    }
+    if (a.soc && dv.socFill) {
+      dv.socFill.setAttribute("height", a.soc.height);
+      dv.socFill.setAttribute("y", a.soc.y);
+    }
+  });
+
+  document.getElementById("clock").textContent = fa.clock;
+  document.getElementById("eloss-bar").style.width = fa.reward.elossPct + "%";
+  document.getElementById("penalty-bar").style.width = fa.reward.penaltyPct + "%";
+  document.getElementById("eloss-val").textContent = fa.reward.elossText;
+  document.getElementById("penalty-val").textContent = fa.reward.penaltyText;
+  document.getElementById("collapse-banner").hidden = !fa.reward.collapsed;
+  document.getElementById("collapse-overlay").hidden = !fa.reward.collapsed;
 }
 
 /* Dash animation: offset moves along the flow direction, faster when the

@@ -84,6 +84,20 @@ def main():
         "timed solves and warm-start each solve from the previous ADMM iterate",
     )
     ap.add_argument(
+        "--warm-shift",
+        action="store_true",
+        help="with --warm: realign the carried ADMM iterate by one stage each "
+        "step (the receding-horizon shift; matters for time-varying forecasts)",
+    )
+    ap.add_argument(
+        "--polish",
+        action="store_true",
+        help="mixed-precision accuracy mode: after the on-chip f32 ADMM, run the "
+        "host-side f64 sparse-KKT active-set polish per lane (banded solver; "
+        "recovers the exact LP vertex -- pair with --verify to measure the "
+        "objective gap vs HiGHS)",
+    )
+    ap.add_argument(
         "--f64",
         action="store_true",
         help="run the ADMM solver in float64 (scoped enable_x64; the accuracy "
@@ -150,7 +164,7 @@ def main():
                 solver_x64=args.f64,
             )
             t0 = time.time()
-            acts = agent.act_batch(state_vecs, warm_start=args.warm)  # compile + cold solve
+            acts = agent.act_batch(state_vecs, warm_start=args.warm, warm_shift=args.warm_shift, polish=args.polish)  # compile + cold solve
             compile_s = time.time() - t0
 
             times = []
@@ -163,12 +177,12 @@ def main():
                     es_run, out = env.step(es_run, jnp.asarray(acts), jax.random.fold_in(k_run, t))
                     sv = np.asarray(out.state_vec)
                     t0 = time.time()
-                    acts = agent.act_batch(sv, warm_start=True)
+                    acts = agent.act_batch(sv, warm_start=True, warm_shift=args.warm_shift, polish=args.polish)
                     times.append(time.time() - t0)
             else:
                 for _ in range(args.iters):
                     t0 = time.time()
-                    acts = agent.act_batch(state_vecs)
+                    acts = agent.act_batch(state_vecs, polish=args.polish)
                     times.append(time.time() - t0)
             med = statistics.median(times)
 
@@ -178,6 +192,8 @@ def main():
                 "env": args.env,
                 "solver": args.solver,
                 "warm_start": bool(args.warm),
+                "warm_shift": bool(args.warm_shift),
+                "polish": bool(args.polish),
                 "median_s_per_batch": round(med, 4),
                 "first_call_s": round(compile_s, 2),
                 "backend": jax.default_backend(),

@@ -20,6 +20,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run tests marked slow (the >60s integration tier: the reference "
+        "suites under the stub, 1000-step MPC episodes, feeder141-scale "
+        "solves).  CI runs both tiers; the default local loop stays fast.",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: >60s integration test (deselected by default; --runslow or GYM_ANM_TPU_SLOW=1)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("GYM_ANM_TPU_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow (or GYM_ANM_TPU_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def reference():
     """Import the reference gym-anm from /root/reference with stub modules

@@ -1,0 +1,83 @@
+function frameAttrs(spec, scene, msg) {
+  const out = { branches: [], buses: [], devices: [], reward: null, clock: null };
+
+  // Branches: loading color, |S|/rate label, dash direction.
+  msg.sFlows.forEach((s, k) => {
+    const mag = Math.abs(s);
+    const rate = spec.sRate[k];
+    const frac = rate > 0 && isFinite(rate) ? mag / rate : 0;
+    out.branches.push({
+      stroke: loadColor(frac),
+      strokeWidth: frac > 1 ? 4.5 : 3,
+      label: isFinite(rate) ? `${mag.toFixed(1)}/${rate.toFixed(0)} MVA` : `${mag.toFixed(1)} MVA`,
+      dir: s >= 0 ? 1 : -1,
+      speed: Math.min(3, 0.4 + 2.6 * frac),
+    });
+  });
+
+  // Buses: voltage readout, red when out of bounds.
+  msg.vMagn.forEach((v, i) => {
+    const bad = v < spec.vMagnMin[i] - 1e-9 || v > spec.vMagnMax[i] + 1e-9;
+    out.buses.push({
+      fill: bad ? COL.busBad : COL.bus,
+      text: `${v.toFixed(3)} pu`,
+      textFill: bad ? COL.busBad : COL.text,
+    });
+  });
+
+  // Devices: P bar, labels, curtailment tick, SoC fill.
+  for (const dv of scene.devices) {
+    const p = msg.pInjections[dv.d];
+    const q = msg.qInjections[dv.d];
+    const pmax = spec.pMax[dv.d];
+    const frac = pmax > 0 && isFinite(pmax) ? Math.max(-1, Math.min(1, p / pmax)) : 0;
+    const w = (Math.abs(frac) * dv.gw) / 2;
+    const a = {
+      d: dv.d,
+      barX: frac >= 0 ? dv.cx : dv.cx - w,
+      barW: w,
+      barFill: frac >= 0 ? COL.pPos : COL.pNeg,
+      label: `${p.toFixed(1)} MW / ${q.toFixed(1)} MVAr`,
+      pot: null,
+      soc: null,
+    };
+    if (dv.potTick && dv.type === 2) {
+      const pot = msg.pPotential[scene.genIndex[dv.d]];
+      if (isFinite(pot) && pmax > 0) {
+        const px = dv.cx + (Math.max(-1, Math.min(1, pot / pmax)) * dv.gw) / 2;
+        a.pot = { x: px, visible: true };
+      } else {
+        a.pot = { x: dv.cx, visible: false };
+      }
+    } else if (dv.potTick) {
+      a.pot = { x: dv.cx, visible: false };
+    }
+    if (dv.socFill) {
+      const soc = msg.socStorage[scene.socIndex[dv.d]];
+      const maxSoc = spec.socMax[scene.socIndex[dv.d]];
+      const f = maxSoc > 0 ? Math.max(0, Math.min(1, soc / maxSoc)) : 0;
+      const h = 18 * f;
+      a.soc = { height: h, y: dv.iconY + 9 - h };
+    }
+    out.devices.push(a);
+  }
+
+  // Reward bars + collapse banner (updateReward's decisions).
+  const [eloss, penalty] = msg.reward;
+  out.reward = {
+    elossPct: Math.min(100, (100 * Math.abs(eloss)) / spec.energyLossMax),
+    penaltyPct: Math.min(100, (100 * penalty) / spec.penaltyMax),
+    elossText: eloss.toFixed(3),
+    penaltyText: penalty.toFixed(3),
+    collapsed: !!msg.networkCollapsed,
+  };
+
+  // Clock readout (updateClock's string).
+  const [month, day, hour, minute] = msg.time;
+  const pad = (x) => String(x).padStart(2, "0");
+  let clock = `${pad(day)}/${pad(month)} ${pad(hour)}:${pad(minute)}`;
+  if (msg.yearCount > 0) clock += `  (+${msg.yearCount}y)`;
+  out.clock = clock;
+
+  return out;
+}

@@ -81,6 +81,9 @@ def test_chord_precision_default_resolution():
     explicit overrides and non-chord methods are untouched."""
     from gym_anm_tpu.envs.feeder141 import make_core
 
-    assert make_core().chord_precision == "default"
-    assert make_core(chord_precision="highest").chord_precision == "highest"
+    # The env default is the tree kernel since round 5 (no chord phase);
+    # the chord-only ablation mode still auto-selects bf16 products.
+    assert make_core().chord_precision is None
+    assert make_core(pf_method="hybrid").chord_precision == "default"
+    assert make_core(pf_method="hybrid", chord_precision="highest").chord_precision == "highest"
     assert make_core(pf_method="scan").chord_precision is None

@@ -211,3 +211,55 @@ def test_mpc_on_feeder33():
         _check_solution(agent, check_optimal=(t == 0))
         obs, r, terminated, _, _ = env.step(a)
         assert not terminated
+
+
+def test_batched_mpc_warm_shift_matches_cold():
+    """The receding-horizon stage shift (``warm_shift=True``) realigns the
+    carried ADMM iterate by one stage; actions must still match independent
+    cold solves to solver tolerance across a controlled episode."""
+    import jax
+
+    from gym_anm_tpu.envs.anm6.anm6_easy import make_core
+    from gym_anm_tpu.envs.batched import BatchedEnv
+
+    core = make_core(pf_max_iter=100)
+    B = 4
+    env = BatchedEnv(core, batch_size=B)
+    key = jax.random.PRNGKey(1)
+    es, first = env.reset(key)
+
+    host_env = gym_anm_tpu.envs.ANM6Easy()
+    host_env.reset(seed=0)
+    warm_agent = MPCAgentConstant(host_env.simulator, host_env.action_space, 0.995, planning_steps=3)
+    cold_agent = MPCAgentConstant(host_env.simulator, host_env.action_space, 0.995, planning_steps=3)
+
+    sv = np.asarray(first.state_vec)
+    acts = cold_agent.act_batch(sv)
+    np.testing.assert_allclose(
+        warm_agent.act_batch(sv, warm_start=True, warm_shift=True), acts, atol=1e-6
+    )
+    for t in range(3):
+        es, out = env.step(es, acts, jax.random.fold_in(key, t))
+        sv = np.asarray(out.state_vec)
+        acts = cold_agent.act_batch(sv)
+        warm = warm_agent.act_batch(sv, warm_start=True, warm_shift=True)
+        np.testing.assert_allclose(warm, acts, atol=2e-2)
+
+
+def test_single_env_act_warm_start_matches_cold():
+    """``MPCAgent(warm_start=True)`` carries the scaled ADMM iterate across
+    consecutive ``act()`` calls (with the stage shift); the actions must
+    match a cold agent's to the polish/solver tolerance over a real
+    receding-horizon episode."""
+    env = gym_anm_tpu.envs.ANM6Easy()
+    env.reset(seed=7)
+    warm_agent = MPCAgentConstant(
+        env.simulator, env.action_space, 0.995, planning_steps=3, warm_start=True
+    )
+    cold_agent = MPCAgentConstant(env.simulator, env.action_space, 0.995, planning_steps=3)
+    for _ in range(4):
+        a_w = warm_agent.act(env)
+        a_c = cold_agent.act(env)
+        np.testing.assert_allclose(a_w, a_c, atol=2e-2)
+        env.step(a_c)
+    assert warm_agent._act_carry is not None

@@ -98,6 +98,7 @@ def test_banded_feeder33():
         assert not terminated
 
 
+@pytest.mark.slow
 def test_banded_feeder141_horizon5():
     """The dense assembly is infeasible here (S=455/stage); the banded
     backend plans at horizon 5 on the 141-bus network, its solution is
@@ -122,6 +123,7 @@ def test_banded_feeder141_horizon5():
         assert not terminated
 
 
+@pytest.mark.slow
 def test_banded_feeder141_horizon20():
     """Production scale: horizon 20 on the 141-bus network (nz = 9100, past
     the dense-mirror limit).  Feasibility is checked through the banded
@@ -237,3 +239,53 @@ def test_perfect_act_batch_requires_tables():
     agent = MPCAgentPerfect(env.simulator, env.action_space, env.gamma, planning_steps=2)
     with pytest.raises(ValueError, match="daily tables"):
         agent.act_batch(np.asarray(env.state)[None, :])
+
+
+@pytest.mark.slow
+def test_banded_sparse_polish_batch_feeder141():
+    """The mixed-precision accuracy mode (solve_batch(polish=True)): the
+    host-side f64 sparse-KKT active-set polish recovers LP-optimal
+    objectives at feeder141 scale, where no dense mirror/polish can exist.
+    Each polished lane must be primal-feasible and match the HiGHS optimum
+    of its own LP to solver precision."""
+    from scipy import sparse
+    from scipy.optimize import linprog
+
+    from gym_anm_tpu.envs.feeder141 import Feeder141Env, make_core
+    from gym_anm_tpu.envs.batched import BatchedEnv
+
+    host = Feeder141Env()
+    host.reset(seed=3)
+    agent = MPCAgentConstantBanded(
+        host.simulator, host.action_space, host.gamma, safety_margin=0.96, planning_steps=5
+    )
+    assert agent.nz > agent.POLISH_MAX_NZ  # genuinely past the dense polish
+
+    core = make_core()
+    env = BatchedEnv(core, batch_size=2)
+    import jax
+
+    es, first = env.reset(jax.random.PRNGKey(5))
+    sv = np.asarray(first.state_vec)
+    agent.act_batch(sv, polish=True)
+    sol = agent.last_batch_solution
+    A = agent.sparse_A()
+    for b in range(2):
+        x, lv, uv = sol["x"][b], sol["lv"][b], sol["uv"][b]
+        Ax = agent.apply_A_host(x)
+        assert np.max(np.maximum(0.0, np.maximum(lv - Ax, Ax - uv))) < 2e-6
+        eq = (lv == uv) & np.isfinite(lv)
+        ub = np.isfinite(uv) & ~eq
+        lb = np.isfinite(lv) & ~eq
+        res = linprog(
+            agent.q,
+            A_ub=sparse.vstack([A[ub], -A[lb]]),
+            b_ub=np.concatenate([uv[ub], -lv[lb]]),
+            A_eq=A[eq],
+            b_eq=lv[eq],
+            bounds=[(None, None)] * agent.nz,
+            method="highs",
+        )
+        assert res.status == 0
+        gap = abs(float(agent.q @ x) - res.fun) / max(1.0, abs(res.fun))
+        assert gap < 1e-6, f"lane {b}: polished objective gap {gap:.2e}"

@@ -62,7 +62,9 @@ def _check_optimal(agent):
     assert abs(q @ sol["x"] - res.fun) < 1e-3 + 1e-4 * abs(res.fun)
 
 
-@pytest.mark.parametrize("planning_steps", [1, 3, 20])
+@pytest.mark.parametrize(
+    "planning_steps", [1, 3, pytest.param(20, marks=pytest.mark.slow)]
+)
 def test_mpc_constant_1000_steps(planning_steps):
     """Mirrors /root/reference/tests/test_dcopf_agent.py:33,45,57 (1000
     steps at horizons 1/3/20) with every-step feasibility verification."""

@@ -1,0 +1,185 @@
+"""Fused Pallas tree-NR kernel vs the XLA tree solver (interpret mode).
+
+The kernel (ops/pallas_tree.py) must reproduce solve_pfe_tree's solutions,
+convergence decisions, and iteration counts on every radial network the
+framework ships, including the warm-start path and the transition()
+dispatch."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from gym_anm_tpu.core.grid import build_grid
+from gym_anm_tpu.envs.anm6.network import network as anm6_network
+from gym_anm_tpu.ops.pallas_tree import (
+    build_tree_schedule,
+    schedule_for_spec,
+    solve_pfe_tree_pallas,
+    tree_tile_budget,
+)
+from gym_anm_tpu.ops.tree_nr import build_tree_info, solve_pfe_tree
+
+
+def _net(name):
+    if name == "anm6":
+        return anm6_network, 0.3, 1e-5
+    if name == "feeder33":
+        from gym_anm_tpu.envs.feeder33 import _NETWORK
+
+        return _NETWORK, 0.05, 1e-5
+    from gym_anm_tpu.envs.feeder141 import _NETWORK
+
+    # 3e-5: the f32 mismatch plateau tolerance every 141-bus f32 config
+    # uses (envs/feeder141.py make_core).
+    return _NETWORK, 0.02, 3e-5
+
+
+@pytest.mark.parametrize("name", ["anm6", "feeder33", "feeder141"])
+def test_kernel_matches_xla_tree(name):
+    net, amp, x_tol = _net(name)
+    spec, _ = build_grid(net, 0.25, 100, dtype=np.float32)
+    sched = build_tree_schedule(spec.br_f, spec.br_t, spec.n_bus, spec.Y_re, spec.Y_im)
+    tree = build_tree_info(spec.br_f, spec.br_t, spec.n_bus, spec.Y_re, spec.Y_im)
+    rng = np.random.default_rng(0)
+    B, m = 256, spec.n_bus - 1
+    p = jnp.asarray(rng.uniform(-amp, amp, (B, m)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-0.6 * amp, 0.6 * amp, (B, m)).astype(np.float32))
+
+    vr_x, vi_x, d_x, it_x, c_x = jax.jit(
+        lambda p, q: solve_pfe_tree(tree, p, q, x_tol=x_tol, max_iter=12)
+    )(p, q)
+    with pltpu.force_tpu_interpret_mode():
+        vr_p, vi_p, d_p, it_p, c_p = solve_pfe_tree_pallas(
+            sched, p, q, x_tol=x_tol, max_iter=12, tile=128
+        )
+
+    cx, cp = np.asarray(c_x), np.asarray(c_p)
+    # Summation orders differ (run pushes vs padded-child sums), so lanes
+    # sitting exactly on the criterion may flip; everywhere else the
+    # decisions must agree.
+    assert (cx == cp).mean() >= 0.99
+    both = cx & cp
+    np.testing.assert_allclose(np.asarray(vr_p)[both], np.asarray(vr_x)[both], atol=5e-5)
+    np.testing.assert_allclose(np.asarray(vi_p)[both], np.asarray(vi_x)[both], atol=5e-5)
+    # Iteration counts are diagnostics: criterion-marginal lanes may take a
+    # couple of extra steps under the differing summation order.
+    dit = np.abs(np.asarray(it_x) - np.asarray(it_p))[(cx == cp) & both]
+    assert (dit <= 1).mean() >= 0.97 and dit.max() <= 4
+
+
+def test_kernel_warm_start_matches_xla_tree():
+    net, amp, x_tol = _net("feeder33")
+    spec, _ = build_grid(net, 0.25, 100, dtype=np.float32)
+    sched = build_tree_schedule(spec.br_f, spec.br_t, spec.n_bus, spec.Y_re, spec.Y_im)
+    tree = build_tree_info(spec.br_f, spec.br_t, spec.n_bus, spec.Y_re, spec.Y_im)
+    rng = np.random.default_rng(1)
+    B, m = 128, spec.n_bus - 1
+    p = jnp.asarray(rng.uniform(-amp, amp, (B, m)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-0.6 * amp, 0.6 * amp, (B, m)).astype(np.float32))
+
+    # Previous-step voltages: solve a nearby problem, perturb a few lanes
+    # into invalid (absorbing-zero) territory to exercise the guard.
+    vr0, vi0, _, _, _ = jax.jit(lambda p, q: solve_pfe_tree(tree, p, q, max_iter=10))(
+        p * 0.9, q * 0.9
+    )
+    vr0 = np.array(vr0)
+    vr0[:5] = 0.0  # absorbing lanes flat-start
+    vr0 = jnp.asarray(vr0)
+
+    vr_x, vi_x, _, it_x, c_x = jax.jit(
+        lambda p, q: solve_pfe_tree(tree, p, q, x_tol=x_tol, max_iter=10, init=(vr0, vi0))
+    )(p, q)
+    with pltpu.force_tpu_interpret_mode():
+        vr_p, vi_p, _, it_p, c_p = solve_pfe_tree_pallas(
+            sched, p, q, x_tol=x_tol, max_iter=10, tile=128, init=(vr0, vi0)
+        )
+    cx, cp = np.asarray(c_x), np.asarray(c_p)
+    assert (cx == cp).mean() >= 0.99
+    both = cx & cp
+    np.testing.assert_allclose(np.asarray(vr_p)[both], np.asarray(vr_x)[both], atol=5e-5)
+    dit = np.abs(np.asarray(it_x) - np.asarray(it_p))[both & (cx == cp)]
+    assert (dit <= 1).mean() >= 0.97 and dit.max() <= 4
+
+
+def test_schedule_invariants():
+    """Runs cover every non-slack-parent link exactly once, map children to
+    strictly later levels, and slots partition the non-slack buses."""
+    for name in ("anm6", "feeder33", "feeder141"):
+        net, _, _ = _net(name)
+        spec, _ = build_grid(net, 0.25, 100, dtype=np.float32)
+        sched = build_tree_schedule(spec.br_f, spec.br_t, spec.n_bus, spec.Y_re, spec.Y_im)
+        m = spec.n_bus - 1
+        real = sched.slot_busm1 >= 0
+        assert real.sum() == m
+        assert sorted(sched.slot_busm1[real]) == list(range(m))
+        # Reconstruct the parent map from the runs and check it against the
+        # branch list.
+        par = {}
+        level_of = np.empty(sched.S, dtype=int)
+        for li, (off, W, k) in enumerate(sched.levels):
+            level_of[off : off + W] = li
+        for li, lruns in enumerate(sched.runs):
+            for src, k, dst in lruns:
+                for i in range(k):
+                    assert src + i not in par, "link covered twice"
+                    par[src + i] = dst + i
+                    assert level_of[src + i] == li
+                    assert level_of[dst + i] > li, "parent not in a later level"
+        br = {(int(f), int(t)) for f, t in zip(spec.br_f, spec.br_t)}
+        br |= {(t, f) for f, t in br}
+        n_slack_children = sum(
+            1 for s in range(sched.S) if real[s] and sched.ycols[s, 6] == 0.0
+        )
+        assert len(par) == m - n_slack_children
+        for s, ps in par.items():
+            assert (sched.slot_busm1[s] + 1, sched.slot_busm1[ps] + 1) in br
+
+
+def test_transition_dispatch_pallas_tree():
+    """pf_method='tree' routes through the kernel on the fast path (under
+    FORCE_INTERPRET) and matches the pinned XLA tree path."""
+    import gym_anm_tpu.ops.pallas_tree as pt
+    from gym_anm_tpu.core.transition import resolve_solver_path, transition
+
+    spec, _ = build_grid(anm6_network, 0.25, 100, dtype=np.float32)
+    rng = np.random.default_rng(2)
+    B = 128
+    args = dict(
+        des_soc=jnp.asarray(rng.uniform(0.1, 0.9, (B, 1)).astype(np.float32)),
+        P_load=jnp.asarray(rng.uniform(-0.4, 0.0, (B, 3)).astype(np.float32)),
+        P_pot=jnp.asarray(rng.uniform(0.0, 0.5, (B, 2)).astype(np.float32)),
+        P_set_gen=jnp.asarray(rng.uniform(0.0, 0.5, (B, 2)).astype(np.float32)),
+        Q_set_gen=jnp.asarray(rng.uniform(-0.3, 0.3, (B, 2)).astype(np.float32)),
+        P_set_des=jnp.asarray(rng.uniform(-0.4, 0.4, (B, 1)).astype(np.float32)),
+        Q_set_des=jnp.asarray(rng.uniform(-0.3, 0.3, (B, 1)).astype(np.float32)),
+    )
+    old = pt.FORCE_INTERPRET
+    pt.FORCE_INTERPRET = True
+    try:
+        path, _, _ = resolve_solver_path(spec, "tree", args["des_soc"], args["P_load"])
+        assert path == "pallas_tree"
+        with pltpu.force_tpu_interpret_mode():
+            r_k = transition(spec, **args, pf_method="tree")
+    finally:
+        pt.FORCE_INTERPRET = old
+    path, _, _ = resolve_solver_path(spec, "tree", args["des_soc"], args["P_load"])
+    assert path == "xla_tree"  # CPU backend: kernel does not apply
+    r_x = transition(spec, **args, pf_method="tree_xla")
+    ck = np.asarray(r_k.pfe_converged)
+    cx = np.asarray(r_x.pfe_converged)
+    agree = ck == cx  # criterion-marginal lanes may flip under the
+    assert agree.mean() >= 0.99  # differing summation order
+    # Penalty terms amplify the ~3e-5 voltage round-off by lamb=100.
+    np.testing.assert_allclose(
+        np.asarray(r_k.reward)[agree], np.asarray(r_x.reward)[agree], rtol=2e-4, atol=1e-3
+    )
+
+
+def test_tile_budget_and_cache():
+    spec, _ = build_grid(anm6_network, 0.25, 100, dtype=np.float32)
+    s1 = schedule_for_spec(spec)
+    s2 = schedule_for_spec(spec)
+    assert s1 is s2  # identity-cached (static jit argument)
+    assert 512 in tree_tile_budget(s1)

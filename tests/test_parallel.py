@@ -52,6 +52,7 @@ def test_sharding_propagates_through_step():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+@pytest.mark.slow
 def test_ppo_dryrun_on_mesh():
     import importlib.util
 

@@ -56,12 +56,14 @@ def _run_reference_tests(names, timeout):
     return tail
 
 
+@pytest.mark.slow
 def test_reference_device_suite_under_stub():
     """The reference's 40+ device tests pin map_pq projection behavior --
     the exact behavior the parity suite's stub must reproduce."""
     _run_reference_tests(["tests.simulator.test_devices"], timeout=600)
 
 
+@pytest.mark.slow
 def test_reference_simulator_suites_under_stub():
     """Bus/branch/network/simulator invariants (no cvxpy, but they pin the
     exact physics the stubbed reference replays in the parity tests)."""
@@ -77,6 +79,7 @@ def test_reference_simulator_suites_under_stub():
     )
 
 
+@pytest.mark.slow
 def test_reference_dcopf_suite_under_stub():
     """The reference's MPC integration tests (1000 env steps at horizons
     1/3/20, every DC-OPF constraint checked on the solver's solution each

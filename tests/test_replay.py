@@ -6,6 +6,7 @@ import re
 import numpy as np
 
 from gym_anm_tpu.envs.anm6.anm6_easy import ANM6Easy
+import pytest
 
 
 def test_replay_records_and_writes_standalone_html(tmp_path):
@@ -54,6 +55,7 @@ def test_replay_requires_recording():
         env.close()
 
 
+@pytest.mark.slow
 def test_feeder_envs_render_replay(tmp_path):
     """Rendering is generic over topologies (VERDICT r1 item 4): the 33- and
     141-bus feeders record and write working replay artifacts too."""

@@ -5,6 +5,7 @@ import jax
 
 from gym_anm_tpu.envs.anm6.anm6_easy import make_core
 from gym_anm_tpu.rl import SACConfig, SACTrainer
+import pytest
 
 
 def _small_cfg(**kw):
@@ -19,6 +20,7 @@ def _small_cfg(**kw):
     return SACConfig(**base)
 
 
+@pytest.mark.slow
 def test_replay_ring_and_train_step_mechanics():
     trainer = SACTrainer(make_core(), batch_size=16, config=_small_cfg(), seed=0)
     key = jax.random.PRNGKey(0)

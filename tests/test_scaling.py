@@ -41,6 +41,7 @@ def _best_time(run, es, key, n=3):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+@pytest.mark.slow
 def test_weak_scaling_efficiency_two_devices():
     """Weak-scaling floor: 2x lanes on a 2-device mesh must run at >= 0.65x
     the 1-device-per-lane-count rate (i.e. t(2B, 2 dev) <= t(B, 1 dev)/0.65).
@@ -74,6 +75,7 @@ def test_weak_scaling_efficiency_two_devices():
     )
 
 
+@pytest.mark.slow
 def test_multiprocess_distributed_simulation():
     """The 2-process jax.distributed scaling sim (scripts/multiproc_dist.py)
     must pass: 2 OS processes x 4 virtual CPU devices joined into one
