@@ -247,6 +247,15 @@ def main():
         "(see roofline_* detail fields)",
     )
     ap.add_argument("--env", default="anm6easy", choices=["anm6easy", "feeder33", "feeder141"])
+    ap.add_argument(
+        "--tree-align",
+        type=int,
+        default=None,
+        metavar="ROWS",
+        help="level padding of the tree kernel's slot layout (ops/pallas_tree.ALIGN): "
+        "8 = sublane-aligned level slices (the pre-ablation default), 1 = exact "
+        "levels (no pad slots -- 4.8x fewer at anm6easy). Applies to --pf tree.",
+    )
     ap.add_argument("--tail", type=int, default=None, help="NR iteration budget (tail for --pf hybrid)")
     ap.add_argument(
         "--chord-iters", type=int, default=None, help="chord iteration budget for hybrid solvers"
@@ -339,6 +348,10 @@ def main():
         # dense Pallas NR at 6 buses (10.1M) and than chord-only at 141
         # (1.89M), with clean on-chip parity everywhere.
         args.pf = {"anm6easy": "tree", "feeder33": "tree", "feeder141": "tree"}[args.env]
+    if args.tree_align is not None:
+        from gym_anm_tpu.ops import pallas_tree
+
+        pallas_tree.ALIGN = args.tree_align
     kw = {}
     if args.chord_precision is not None:
         kw["chord_precision"] = args.chord_precision
@@ -537,6 +550,10 @@ def main():
         "nr_iterations_per_s": round(sps * iters_per_step, 1),
         "nr_iters_per_step": iters_per_step,
     }
+    if solver_path == "pallas_tree":
+        from gym_anm_tpu.ops import pallas_tree as _pt
+
+        detail["tree_align"] = int(_pt.ALIGN)
     if args.pf in ("hybrid", "xla_hybrid", "fused_hybrid") and solver_path == "xla":
         # Only the XLA chord solver consumes chord_precision; the Pallas
         # kernels' chord products are exact-f32 VPU sums regardless.

@@ -11,12 +11,15 @@ row write costs only the rows it touches.
 
 TPU-first structure (beyond what the XLA path already does):
 
-* **Slot renumbering with per-level 8-row alignment.**  Nodes are laid out
-  leaves-first in contiguous levels like the XLA path, but each level is
-  padded to the f32 sublane tile (8 rows) so every level slice is aligned;
-  pad slots carry zero admittances and an identity 2x2 diagonal block, so
-  they compute exact zeros forever (never NaN) and are masked out of the
-  mismatch norm.
+* **Slot renumbering with exact (unpadded) levels.**  Nodes are laid out
+  leaves-first in contiguous levels like the XLA path.  Levels are NOT
+  padded by default (:data:`ALIGN` = 1): Mosaic handles unaligned sublane
+  slices, and shrinking every sliced op to its exact rows measured +10% /
+  +39% / +17% end-to-end on anm6easy / feeder33 / feeder141 over the
+  8-row-aligned layout (``--tree-align 8``), whose pad waste reaches 4.8x
+  at ANM6 size.  When ``ALIGN > 1``, pad slots carry zero admittances and
+  an identity 2x2 diagonal block, so they compute exact zeros forever
+  (never NaN) and are masked out of the mismatch norm.
 * **Parent/child maps become "runs".**  Within each level, nodes are
   ordered by their parent's slot, and the parent map is decomposed on the
   host into maximal constant-offset runs ``(src, k, dst)`` meaning
@@ -60,6 +63,18 @@ from .tree_nr import build_tree_info
 
 DEFAULT_TILE = 512
 
+# Level padding of the slot layout, in rows.  1 (default since the round-5
+# ablation) = exact levels: no pad slots, unaligned level slices -- Mosaic
+# handles them, like the run copies already do.  8 = the f32 sublane tile
+# (every level slice is tile-aligned, but small networks pay heavy pad
+# waste: ANM6's 5 non-slack nodes occupy 24 slots).  Measured on chip at
+# B=4096 (all parity-clean): align=1 is +10% / +39% / +17% end-to-end on
+# anm6easy / feeder33 / feeder141 over align=8 -- the op count stays the
+# same (run/level structure is unchanged) while every sliced op shrinks
+# to its exact rows.  Module-level so bench.py --tree-align can ablate it;
+# the schedule cache keys on the resolved value.
+ALIGN = 1
+
 # Test hook: lets CPU tests route pf_method="tree" through the kernel in
 # Pallas interpret mode (see core/transition.py dispatch).
 FORCE_INTERPRET = False
@@ -79,9 +94,12 @@ DEBUG_STAGE = None
 _SCHED_CACHE = {}
 
 
-def schedule_for_spec(spec, align: int = 8):
+def schedule_for_spec(spec, align: int | None = None):
     """The (cached) kernel schedule for a static-NumPy GridSpec, or None
-    when the spec's leaves are traced or the network is not radial."""
+    when the spec's leaves are traced or the network is not radial.
+    ``align=None`` uses the module default :data:`ALIGN`."""
+    if align is None:
+        align = ALIGN
     if not (isinstance(spec.Y_re, np.ndarray) and isinstance(spec.br_f, np.ndarray)):
         return None
     key = (id(spec.Y_re), id(spec.br_f), align)

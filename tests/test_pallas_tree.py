@@ -36,11 +36,14 @@ def _net(name):
     return _NETWORK, 0.02, 3e-5
 
 
+@pytest.mark.parametrize("align", [8, 1])
 @pytest.mark.parametrize("name", ["anm6", "feeder33", "feeder141"])
-def test_kernel_matches_xla_tree(name):
+def test_kernel_matches_xla_tree(name, align):
     net, amp, x_tol = _net(name)
     spec, _ = build_grid(net, 0.25, 100, dtype=np.float32)
-    sched = build_tree_schedule(spec.br_f, spec.br_t, spec.n_bus, spec.Y_re, spec.Y_im)
+    sched = build_tree_schedule(
+        spec.br_f, spec.br_t, spec.n_bus, spec.Y_re, spec.Y_im, align=align
+    )
     tree = build_tree_info(spec.br_f, spec.br_t, spec.n_bus, spec.Y_re, spec.Y_im)
     rng = np.random.default_rng(0)
     B, m = 256, spec.n_bus - 1
@@ -106,10 +109,14 @@ def test_kernel_warm_start_matches_xla_tree():
 def test_schedule_invariants():
     """Runs cover every non-slack-parent link exactly once, map children to
     strictly later levels, and slots partition the non-slack buses."""
-    for name in ("anm6", "feeder33", "feeder141"):
+    for name, align in (
+        (n, a) for n in ("anm6", "feeder33", "feeder141") for a in (8, 4, 1)
+    ):
         net, _, _ = _net(name)
         spec, _ = build_grid(net, 0.25, 100, dtype=np.float32)
-        sched = build_tree_schedule(spec.br_f, spec.br_t, spec.n_bus, spec.Y_re, spec.Y_im)
+        sched = build_tree_schedule(
+            spec.br_f, spec.br_t, spec.n_bus, spec.Y_re, spec.Y_im, align=align
+        )
         m = spec.n_bus - 1
         real = sched.slot_busm1 >= 0
         assert real.sum() == m
