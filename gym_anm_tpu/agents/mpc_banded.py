@@ -569,23 +569,56 @@ class MPCAgentBanded(MPCAgent):
             return x  # too large for the dense active-set polish
         return super()._polish(x, z, y, lv, uv, tol=tol)
 
+    #: add/drop refinement rounds of the sparse-KKT polish.  The f32 ADMM
+    #: active-set guess both misses rows (its residual floor is ~5e-5
+    #: scaled) and marks spurious ones; a single-shot KKT on that guess is
+    #: usually either infeasible or suboptimal and gets rejected, leaving
+    #: the raw ~1-2% f32 objective gap (measured on chip, round 5).  Each
+    #: round bulk-adds the rows the trial vertex violates and -- only at a
+    #: feasible iterate -- releases ONE active row with the worst
+    #: wrong-signed multiplier (bulk drops were measured to underdetermine
+    #: the set and diverge); lanes settle well within this cap (p100 = 13
+    #: over the round-5 calibration batch).
+    POLISH_REFINE_ITERS = 40
+
     def _polish_batch(self, X, carry, LV, UV):
-        """Sparse-KKT active-set polish, per lane, on the host in float64.
+        """Sparse-KKT active-set polish with add/drop refinement, per lane,
+        on the host in float64.
 
         The mixed-precision accuracy mode for large problems: the chip's
-        f32 ADMM identifies each lane's active constraint set (to its
-        ~5e-5-scaled residual floor), then the equality-constrained KKT
+        f32 ADMM proposes each lane's active constraint set (to its
+        ~5e-5-scaled residual floor), then an equality-constrained KKT
         system on those rows -- assembled SPARSELY from the banded stage
         blocks, so it scales to feeder141 horizon 20 where the dense
         mirror/polish cannot exist -- is solved exactly in f64 with
-        scipy's sparse LU.  Accepted only when primal-feasible and not
-        worse, like the dense polish; DC-OPF degeneracy means a polished
-        lane may land on a different optimal vertex, but the objective
-        matches the LP optimum to solver precision (the quantity
-        scripts/mpc_bench.py --verify measures against HiGHS).
+        scipy's sparse LU.  Because the f32 guess is imperfect, the active
+        set is refined: rows the trial vertex violates join the set, active
+        inequality rows whose KKT multiplier has the wrong sign (lower
+        bounds need nu <= 0, upper bounds nu >= 0 under the convention
+        ``q + A_act' nu = 0``) leave it, one per round (the worst
+        offender: bulk drops underdetermine the set and diverge), and only
+        at a primal-feasible iterate.  Each KKT solve gets two steps of
+        iterative refinement against the UNregularized system (reusing the
+        LU factors): without them the delta-regularization residual
+        ``delta * nu`` (~1e-7 on rows with |nu| ~ 1e2) leaks through the
+        active constraints and the "vertex" undercuts the true optimum by
+        up to ~0.7% objective (measured round 5); with them the active
+        rows hold to f64 round-off, so a feasible iterate whose wrong-sign
+        set is empty is a genuine KKT certificate.  The BEST primal-
+        feasible iterate is returned (never the raw ADMM point when a
+        feasible iterate exists): the slightly infeasible f32 ADMM point
+        can undercut the true optimum, so objective comparisons against it
+        would veto exact solutions.  An iterate whose active rows cannot
+        be satisfied (refined residual > 1e-6: the add path assembled an
+        inconsistent set) aborts the loop, keeping the best candidate.
+        DC-OPF degeneracy means a polished lane may land on a different
+        optimal vertex than HiGHS, but the objective matches the LP
+        optimum to solver precision (the quantity scripts/mpc_bench.py
+        --verify measures: <=1e-11 relative over the round-5 calibration
+        batch at feeder141 h5).
         """
         from scipy import sparse
-        from scipy.sparse.linalg import spsolve
+        from scipy.sparse.linalg import splu
 
         A = self.sparse_A()
         q = self.q
@@ -596,34 +629,83 @@ class MPCAgentBanded(MPCAgent):
         Y = Ys.reshape(Bsz, -1) * self._E[None, :] / self._c
         out = np.array(X, dtype=np.float64)
         delta = 1e-9
+        feas_tol, dual_tol = 1e-8, 1e-8
         eyen = sparse.identity(self.nz, format="csr")
         for b in range(Bsz):
             x, z, y, lv, uv = out[b], Z[b], Y[b], LV[b], UV[b]
-            act_l = (z <= lv + tol) & (y < -tol / 10)
-            act_u = (z >= uv - tol) & (y > tol / 10)
             eq = (lv == uv) & np.isfinite(lv)
-            act = act_l | act_u | eq
-            if not np.any(act):
-                continue
-            A_act = A[act]
-            b_act = np.where(act_u[act], uv[act], lv[act])
-            na = A_act.shape[0]
-            KKT = sparse.bmat(
-                [[delta * eyen, A_act.T], [A_act, -delta * sparse.identity(na, format="csr")]],
-                format="csc",
-            )
-            rhs = np.concatenate([-q, b_act])
-            try:
-                sol = spsolve(KKT, rhs)
-            except Exception:
-                continue
-            x_p = sol[: self.nz]
-            if not np.all(np.isfinite(x_p)):
-                continue
-            Axp = self.apply_A_host(x_p)
-            feas = np.all(Axp >= lv - 1e-6) and np.all(Axp <= uv + 1e-6)
-            if feas and q @ x_p <= q @ x + 1e-9:
-                out[b] = x_p
+            act_u = (z >= uv - tol) & (y > tol / 10) & ~eq
+            act_l = (z <= lv + tol) & (y < -tol / 10) & ~eq & ~act_u
+            best_obj = np.inf
+            for _ in range(self.POLISH_REFINE_ITERS):
+                act = act_l | act_u | eq
+                if not np.any(act):
+                    break
+                A_act = A[act]
+                b_act = np.where(act_u[act], uv[act], lv[act])
+                na = A_act.shape[0]
+                KKT = sparse.bmat(
+                    [[delta * eyen, A_act.T], [A_act, -delta * sparse.identity(na, format="csr")]],
+                    format="csc",
+                )
+                try:
+                    lu = splu(KKT)
+                    sol = lu.solve(np.concatenate([-q, b_act]))
+                    for _r in range(2):
+                        # Iterative refinement toward the delta -> 0 KKT
+                        # system (factorization reused): the residual rhs
+                        # cancels the systematic delta*nu leak, putting
+                        # active-row residuals at f64 round-off.
+                        x_p, nu = sol[: self.nz], sol[self.nz :]
+                        r1 = -q - A_act.T @ nu
+                        r2 = b_act - A_act @ x_p
+                        sol = sol + lu.solve(np.concatenate([r1, r2]))
+                except Exception:
+                    break
+                x_p, nu = sol[: self.nz], sol[self.nz :]
+                if not np.all(np.isfinite(x_p)):
+                    break
+                if np.max(np.abs(b_act - A_act @ x_p)) > 1e-6:
+                    # The active set became inconsistent (no x satisfies
+                    # the forced equalities, so the refined residual stays
+                    # large): adds/drops harvested from this trial would be
+                    # garbage.  Stop and keep the best candidate so far.
+                    break
+                Axp = self.apply_A_host(x_p)
+                viol_l = Axp < lv - feas_tol
+                viol_u = Axp > uv + feas_tol
+                primal_ok = not (np.any(viol_l) or np.any(viol_u))
+                obj = q @ x_p
+                if primal_ok and obj < best_obj:
+                    # Best feasible iterate to date: accepted regardless of
+                    # the ADMM objective (the slightly infeasible f32 point
+                    # can undercut the true optimum -- comparing against it
+                    # would veto exact solutions).
+                    best_obj = obj
+                    out[b] = x_p
+                if not primal_ok:
+                    # Restore primal feasibility first: bulk-add violated
+                    # rows at their violated side; never drop while
+                    # infeasible (drops at infeasible iterates were the
+                    # measured divergence mode).
+                    add_u = viol_u & ~act
+                    add_l = viol_l & ~act & ~add_u
+                    if not (np.any(add_u) or np.any(add_l)):
+                        break  # violated rows already active: dead end
+                    act_u = act_u | add_u
+                    act_l = act_l | add_l
+                    continue
+                # Feasible: release the single worst wrong-signed active
+                # inequality row (nu is ordered like act's True rows).
+                nu_full = np.zeros(A.shape[0])
+                nu_full[act] = nu
+                wrong = np.where(act_u & (nu_full < -dual_tol), -nu_full, 0.0)
+                wrong = wrong + np.where(act_l & (nu_full > dual_tol), nu_full, 0.0)
+                if wrong.max() <= 0.0:
+                    break  # KKT certificate: primal- and dual-feasible
+                r = int(np.argmax(wrong))
+                act_u[r] = False
+                act_l[r] = False
         return out
 
     # ------------------------------------------------------------------

@@ -330,52 +330,56 @@ def _tree_tile_kernel(*refs, sched: TreeSchedule, x_tol, max_iter, warm):
         return dSa_re, dSm_re, dSa_im, dSm_im
 
     def solve_and_update(vr, vi, ir, ii, Fp, Fq, active_col):
-        """One NR step: per-level Jacobian blocks + leaf-to-root Schur
-        elimination + back-substitution; masked carry updates."""
+        """One NR step: full-width Jacobian blocks, then per-level
+        leaf-to-root Schur elimination + back-substitution; masked carry
+        updates.  The D/L/U block entries are order-independent, so they
+        are assembled once over all S slots (a handful of [S, TB] ops)
+        instead of per level: at the exact-level layout the per-level
+        slices are 1-2 rows and each Mosaic op's fixed cost dominates its
+        compute, so cutting op count -- not flops -- is what pays here
+        (RESULTS.md round-5 roofline ablation).  The level loop keeps only
+        the order-dependent work: effective-diagonal inversion, Schur
+        pushes, and back-substitution."""
         zeros = jnp.zeros((S, TB), fdt)
         for r in (a00, a01, a10, a11, ab0, ab1):
             r[:] = zeros
 
+        # ---- full-width block assembly (order-independent) --------------
+        vmag = jnp.sqrt(vr * vr + vi * vi)
+        vnr, vni = vr / vmag, vi / vmag
+        vprf, vpif = vpr[:], vpi[:]
+        pmag = jnp.sqrt(vprf * vprf + vpif * vpif)  # slack parents: 1
+        pnr, pni = vprf / pmag, vpif / pmag
+
+        # Diagonal: w = I - Y_ii v ; u = Y_ii vn ; t1 = vn conj(I).
+        yvr, yvi = _cmul(ydr, ydi, vr, vi)
+        ure, uim = _cmul(ydr, ydi, vnr, vni)
+        t1r = vnr * ir + vni * ii
+        t1i = vni * ir - vnr * ii
+        D00, D01, D10, D11 = blocks(vr, vi, ir - yvr, ii - yvi, ure, uim, t1r, t1i)
+        # Pad slots: identity diagonal block (keeps them exactly zero).
+        D00 = D00 + padm
+        D11 = D11 + padm
+
+        # L = J[par, node]: row voltage v_par, w = -Y_down v, u = Y_down vn.
+        wre, wim = _cmul(ywr, ywi, vr, vi)
+        ure, uim = _cmul(ywr, ywi, vnr, vni)
+        L00, L01, L10, L11 = blocks(vprf, vpif, -wre, -wim, ure, uim)
+        # U = J[node, par]: row voltage v, w = -Y_up v_par, u = Y_up vn_par.
+        wre, wim = _cmul(yur, yui, vprf, vpif)
+        ure, uim = _cmul(yur, yui, pnr, pni)
+        U00, U01, U10, U11 = blocks(vr, vi, -wre, -wim, ure, uim)
+        L00, L01, L10, L11 = (hp * L00, hp * L01, hp * L10, hp * L11)
+        U00, U01, U10, U11 = (hp * U00, hp * U01, hp * U10, hp * U11)
+
+        # ---- leaf-to-root elimination (order-dependent) -----------------
         for (off, W, k), lruns in zip(sched.levels, sched.runs):
             sl = slice(off, off + W)
-            vbr, vbi = vr[sl], vi[sl]
-            irl, iil = ir[sl], ii[sl]
-            vmag = jnp.sqrt(vbr * vbr + vbi * vbi)
-            vnr, vni = vbr / vmag, vbi / vmag
-            vprl, vpil = vpr[sl], vpi[sl]
-            pmag = jnp.sqrt(vprl * vprl + vpil * vpil)  # slack parents: 1
-            pnr, pni = vprl / pmag, vpil / pmag
-            ydr_l, ydi_l = ydr[sl], ydi[sl]
-            yur_l, yui_l = yur[sl], yui[sl]
-            ywr_l, ywi_l = ywr[sl], ywi[sl]
-            hpl, padl = hp[sl], padm[sl]
-
-            # Diagonal: w = I - Y_ii v ; u = Y_ii vn ; t1 = vn conj(I).
-            yvr, yvi = _cmul(ydr_l, ydi_l, vbr, vbi)
-            ure, uim = _cmul(ydr_l, ydi_l, vnr, vni)
-            t1r = vnr * irl + vni * iil
-            t1i = vni * irl - vnr * iil
-            D00, D01, D10, D11 = blocks(vbr, vbi, irl - yvr, iil - yvi, ure, uim, t1r, t1i)
-            # Pad slots: identity diagonal block (keeps them exactly zero).
-            D00 = D00 + padl
-            D11 = D11 + padl
-
-            # L = J[par, node]: row voltage v_par, w = -Y_down v, u = Y_down vn.
-            wre, wim = _cmul(ywr_l, ywi_l, vbr, vbi)
-            ure, uim = _cmul(ywr_l, ywi_l, vnr, vni)
-            L00, L01, L10, L11 = blocks(vprl, vpil, -wre, -wim, ure, uim)
-            # U = J[node, par]: row voltage v, w = -Y_up v_par, u = Y_up vn_par.
-            wre, wim = _cmul(yur_l, yui_l, vprl, vpil)
-            ure, uim = _cmul(yur_l, yui_l, pnr, pni)
-            U00, U01, U10, U11 = blocks(vbr, vbi, -wre, -wim, ure, uim)
-            L00, L01, L10, L11 = (hpl * L00, hpl * L01, hpl * L10, hpl * L11)
-            U00, U01, U10, U11 = (hpl * U00, hpl * U01, hpl * U10, hpl * U11)
-
             # Effective diagonal/rhs = initial - accumulated child Schur.
-            d00 = D00 - a00[sl]
-            d01 = D01 - a01[sl]
-            d10 = D10 - a10[sl]
-            d11 = D11 - a11[sl]
+            d00 = D00[sl] - a00[sl]
+            d01 = D01[sl] - a01[sl]
+            d10 = D10[sl] - a10[sl]
+            d11 = D11[sl] - a11[sl]
             b0 = Fp[sl] - ab0[sl]
             b1 = Fq[sl] - ab1[sl]
             det = d00 * d11 - d01 * d10
@@ -387,14 +391,16 @@ def _tree_tile_kernel(*refs, sched: TreeSchedule, x_tol, max_iter, warm):
 
             # Push the Schur complement to the parents: M = L Dinv,
             # cD = M U, cB = M b (slack parents: L = 0 already).
-            M00 = L00 * i00 + L01 * i10
-            M01 = L00 * i01 + L01 * i11
-            M10 = L10 * i00 + L11 * i10
-            M11 = L10 * i01 + L11 * i11
-            c00 = M00 * U00 + M01 * U10
-            c01 = M00 * U01 + M01 * U11
-            c10 = M10 * U00 + M11 * U10
-            c11 = M10 * U01 + M11 * U11
+            l00, l01, l10, l11 = L00[sl], L01[sl], L10[sl], L11[sl]
+            M00 = l00 * i00 + l01 * i10
+            M01 = l00 * i01 + l01 * i11
+            M10 = l10 * i00 + l11 * i10
+            M11 = l10 * i01 + l11 * i11
+            u00, u01, u10, u11 = U00[sl], U01[sl], U10[sl], U11[sl]
+            c00 = M00 * u00 + M01 * u10
+            c01 = M00 * u01 + M01 * u11
+            c10 = M10 * u00 + M11 * u10
+            c11 = M10 * u01 + M11 * u11
             cb0 = M00 * b0 + M01 * b1
             cb1 = M10 * b0 + M11 * b1
             for src, kk, dst in lruns:
@@ -402,7 +408,9 @@ def _tree_tile_kernel(*refs, sched: TreeSchedule, x_tol, max_iter, warm):
                 for acc, val in ((a00, c00), (a01, c01), (a10, c10), (a11, c11), (ab0, cb0), (ab1, cb1)):
                     acc[pl.ds(dst, kk)] = acc[pl.ds(dst, kk)] + val[s0 : s0 + kk]
 
-        # Back-substitution, root level first.
+        # Back-substitution, root level first (U blocks stay live from the
+        # full-width assembly -- already hp-masked, so slack parents and
+        # pads contribute zero).
         for (off, W, k), lruns in zip(reversed(sched.levels), reversed(sched.runs)):
             sl = slice(off, off + W)
             # Parent solutions, gathered via the same runs into scratch
@@ -415,17 +423,8 @@ def _tree_tile_kernel(*refs, sched: TreeSchedule, x_tol, max_iter, warm):
                 xp1_ref[pl.ds(src, kk)] = x1[pl.ds(dst, kk)]
             xp0 = xp0_ref[sl]
             xp1 = xp1_ref[sl]
-            # Rebuild U for this level (cheaper than keeping it live).
-            vbr, vbi = vr[sl], vi[sl]
-            vprl, vpil = vpr[sl], vpi[sl]
-            pmag = jnp.sqrt(vprl * vprl + vpil * vpil)
-            pnr, pni = vprl / pmag, vpil / pmag
-            wre, wim = _cmul(yur[sl], yui[sl], vprl, vpil)
-            ure, uim = _cmul(yur[sl], yui[sl], pnr, pni)
-            U00, U01, U10, U11 = blocks(vbr, vbi, -wre, -wim, ure, uim)
-            hpl = hp[sl]
-            r0 = ab0[sl] - hpl * (U00 * xp0 + U01 * xp1)
-            r1 = ab1[sl] - hpl * (U10 * xp0 + U11 * xp1)
+            r0 = ab0[sl] - (U00[sl] * xp0 + U01[sl] * xp1)
+            r1 = ab1[sl] - (U10[sl] * xp0 + U11[sl] * xp1)
             x0[sl] = a00[sl] * r0 + a01[sl] * r1
             x1[sl] = a10[sl] * r0 + a11[sl] * r1
 
@@ -503,10 +502,11 @@ def _tree_tile_kernel(*refs, sched: TreeSchedule, x_tol, max_iter, warm):
 
 def tree_tile_budget(sched: TreeSchedule, vmem_bytes=14 * 2**20):
     """Lane tiles whose scratch + I/O VMEM footprint fits the per-kernel
-    budget (16 full-width [S, tile] refs + ~8 I/O rows of the same shape,
-    with a 1.5x allowance for Mosaic liveness)."""
+    budget (16 full-width [S, tile] refs + 12 live full-width D/L/U block
+    values + ~8 I/O rows of the same shape, with a 1.5x allowance for
+    Mosaic liveness)."""
     S = sched.S
-    words = int(1.5 * (16 + 8) * S)
+    words = int(1.5 * (16 + 12 + 8) * S)
     return [t for t in (512, 256, 128) if words * t * 4 <= vmem_bytes]
 
 

@@ -289,3 +289,41 @@ def test_banded_sparse_polish_batch_feeder141():
         assert res.status == 0
         gap = abs(float(agent.q @ x) - res.fun) / max(1.0, abs(res.fun))
         assert gap < 1e-6, f"lane {b}: polished objective gap {gap:.2e}"
+
+
+def test_sparse_polish_recovers_exact_optimum_from_f32_seed():
+    """The add/drop sparse-KKT polish reaches the HiGHS optimum to solver
+    precision from a committed f32 ADMM seed batch (feeder141 h5, captured
+    on the round-5 calibration run with its HiGHS objectives).
+
+    Pins the three round-5 polish defect fixes: iterative refinement of
+    the delta-regularized KKT (leak undercut the optimum by up to 0.7%),
+    best-feasible acceptance (never objective-compare against the
+    infeasible ADMM point), and one-at-a-time dual-sign drops (bulk drops
+    diverged on lane 5 of this very batch).  No ADMM runs here -- the
+    fixture replays only the host polish, so the test is fast.
+    """
+    import os
+
+    from gym_anm_tpu.envs.feeder141 import Feeder141Env
+
+    data = np.load(os.path.join(os.path.dirname(__file__), "data", "polish_calib_feeder141.npz"))
+    env = Feeder141Env()
+    env.reset(seed=0)
+    agent = MPCAgentConstantBanded(
+        env.simulator, env.action_space, env.gamma, planning_steps=5
+    )
+    out = agent._polish_batch(
+        data["xs"].astype(np.float64),
+        (None, data["z"], data["y"]),
+        data["lv"],
+        data["uv"],
+    )
+    q = agent.q
+    for b in range(out.shape[0]):
+        lv, uv = data["lv"][b], data["uv"][b]
+        Ax = agent.apply_A_host(out[b])
+        viol = max(np.max(np.maximum(0, lv - Ax)), np.max(np.maximum(0, Ax - uv)))
+        gap = abs(q @ out[b] - data["highs_opt"][b]) / max(1.0, abs(data["highs_opt"][b]))
+        assert viol < 1e-9, (b, viol)
+        assert gap < 1e-8, (b, gap)
