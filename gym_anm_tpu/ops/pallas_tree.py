@@ -496,7 +496,15 @@ def _tree_tile_kernel(*refs, sched: TreeSchedule, x_tol, max_iter, warm):
     vr, vi, _, _, _, _, d_fin = eval_point(theta, vm)
     vrout[:] = vr
     viout[:] = vi
-    dout[:] = d_fin
+    # A lane the loop froze (diff_ref <= x_tol) has not moved since that
+    # in-loop evaluation, so diff_ref IS a valid mismatch of the returned
+    # point; prefer it when it is the smaller rounding.  The re-evaluation
+    # here is not guaranteed bit-identical to the in-loop one (XLA may
+    # fuse the two inlined eval_point copies differently), and letting it
+    # override the freeze decision flips criterion-marginal lanes to
+    # "diverged" (seen at feeder33: ~2% of lanes at the f32 plateau).
+    d_last = diff_ref[:]
+    dout[:] = jnp.where(d_last <= x_tol, jnp.minimum(d_fin, d_last), d_fin)
     itout[:] = it_ref[:]
 
 
